@@ -1,0 +1,60 @@
+"""Interpolation degradations (Family B): hot noise and animorphosis mixing.
+
+Both share the closed-form cosine-schedule interpolation
+``x_n = sqrt(acum[n-1]) * x0 + sqrt(1 - acum[n-1]) * x_end``
+(denoising_diffusion_pytorch.py:331-337, 517-522); they differ only in where
+``x_end`` comes from -- N(0, I) noise for the hot baseline, an image from a
+second dataset for demixing/animorphosis (demixing_diffusion_pytorch.py:331-337,
+497-502).  The trainer supplies ``x_end``; the operator is pure math.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..schedules import cosine_alphas_cumprod
+from .base import Degradation, bcast
+
+__all__ = ["Interpolation", "GaussianNoise", "Animorphosis"]
+
+
+class Interpolation(Degradation):
+    sqrt_ac: jnp.ndarray = None  # [T] sqrt(alphas_cumprod)
+    sqrt_1mac: jnp.ndarray = None  # [T] sqrt(1 - alphas_cumprod)
+
+    @classmethod
+    def create(cls, *, timesteps: int, s: float = 0.008) -> "Interpolation":
+        ac = cosine_alphas_cumprod(timesteps, s)
+        return cls(
+            timesteps=timesteps,
+            requires_x_end=True,
+            sqrt_ac=jnp.asarray(ac**0.5, dtype=jnp.float32),
+            sqrt_1mac=jnp.asarray((1.0 - ac) ** 0.5, dtype=jnp.float32),
+        )
+
+    def degrade(self, x, n, *, x_end=None, og=None, rng=None):
+        assert x_end is not None, "Family-B operator needs an endpoint image"
+        idx = jnp.clip(n - 1, 0, self.timesteps - 1)
+        a = bcast(self.sqrt_ac[idx], x.ndim)
+        b = bcast(self.sqrt_1mac[idx], x.ndim)
+        y = a * x + b * x_end
+        return jnp.where(bcast(n, x.ndim) == 0, x, y)
+
+    def x_end_from_xt(self, x0_bar, xt, n):
+        """Estimate the endpoint from x_t and a predicted x0 (DDIM-style).
+
+        Matches get_x2_bar_from_xt (denoising_diffusion_pytorch.py:377-381);
+        ``n`` is the number of applied steps (reference ``t`` index + 1).
+        """
+        idx = jnp.clip(n - 1, 0, self.timesteps - 1)
+        a = bcast(self.sqrt_ac[idx], xt.ndim)
+        b = bcast(self.sqrt_1mac[idx], xt.ndim)
+        return (xt - a * x0_bar) / b
+
+
+class GaussianNoise(Interpolation):
+    """Hot baseline: x_end ~ N(0, I), drawn by the trainer."""
+
+
+class Animorphosis(Interpolation):
+    """Demixing: x_end is an image from a second dataset."""
