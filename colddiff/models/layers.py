@@ -1,0 +1,144 @@
+"""Shared Flax layers for both UNet families (NHWC, TPU-native layout).
+
+Functional parity targets (architecture, not weights):
+  ConvNeXt family: deblurring_diffusion_pytorch.py:83-187 and
+  snowification/diffusion/model/unet_convnext.py.
+  ResNet family:   deblurring-diffusion-pytorch/.../Model2.py:6-188.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+__all__ = [
+    "SinusoidalPosEmb",
+    "ChannelLayerNorm",
+    "ConvNextBlock",
+    "LinearAttention",
+    "SoftmaxAttention",
+    "Downsample",
+    "Upsample",
+    "gelu",
+    "swish",
+]
+
+
+def gelu(x):
+    # torch nn.GELU default is the exact erf form (jax default is tanh approx)
+    return jax.nn.gelu(x, approximate=False)
+
+
+def swish(x):
+    return x * jax.nn.sigmoid(x)
+
+
+class SinusoidalPosEmb(nn.Module):
+    """Transformer sinusoidal timestep embedding (deblurring...py:91-103)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, t: jnp.ndarray) -> jnp.ndarray:
+        half = self.dim // 2
+        freq = jnp.exp(jnp.arange(half, dtype=jnp.float32) * (-math.log(10000.0) / (half - 1)))
+        ang = t.astype(jnp.float32)[:, None] * freq[None, :]
+        return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+
+
+class ChannelLayerNorm(nn.Module):
+    """Per-pixel channel LayerNorm with biased variance (deblurring...py:111-121)."""
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        g = self.param("scale", nn.initializers.ones, (c,))
+        b = self.param("bias", nn.initializers.zeros, (c,))
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x, axis=-1, keepdims=True)
+        return (x - mean) / jnp.sqrt(var + self.eps) * g + b
+
+
+class ConvNextBlock(nn.Module):
+    """ConvNeXt block: depthwise 7x7 + (norm -> 3x3 -> GELU -> 3x3) + residual.
+
+    Parity: deblurring_diffusion_pytorch.py:135-165.
+    """
+
+    dim_out: int
+    mult: int = 2
+    norm: bool = True
+    time_emb: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, t: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        dim = x.shape[-1]
+        h = nn.Conv(dim, (7, 7), padding=3, feature_group_count=dim, name="ds_conv")(x)
+        if self.time_emb and t is not None:
+            cond = nn.Dense(dim, name="mlp_dense")(gelu(t))
+            h = h + cond[:, None, None, :]
+        if self.norm:
+            h = ChannelLayerNorm(name="norm")(h)
+        h = nn.Conv(self.dim_out * self.mult, (3, 3), padding=1, name="net_conv1")(h)
+        h = gelu(h)
+        h = nn.Conv(self.dim_out, (3, 3), padding=1, name="net_conv2")(h)
+        if dim != self.dim_out:
+            x = nn.Conv(self.dim_out, (1, 1), name="res_conv")(x)
+        return h + x
+
+
+class LinearAttention(nn.Module):
+    """Linear attention over H*W tokens (deblurring_diffusion_pytorch.py:167-187).
+
+    softmax(k) over tokens -> context = k v^T -> out = context^T q.
+    O(N d^2) instead of O(N^2 d): two small batched matmuls, MXU-friendly.
+    """
+
+    heads: int = 4
+    dim_head: int = 32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, hgt, wid, c = x.shape
+        hidden = self.heads * self.dim_head
+        qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False, name="to_qkv")(x)
+        qkv = qkv.reshape(b, hgt * wid, 3, self.heads, self.dim_head)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [b, n, h, d]
+        q = q * (self.dim_head**-0.5)
+        k = jax.nn.softmax(k, axis=1)  # over tokens
+        context = jnp.einsum("bnhd,bnhe->bhde", k, v)
+        out = jnp.einsum("bhde,bnhd->bnhe", context, q)
+        out = out.reshape(b, hgt, wid, hidden)
+        return nn.Conv(c, (1, 1), name="to_out")(out)
+
+
+class SoftmaxAttention(nn.Module):
+    """Full softmax self-attention at low resolution (Model2.py:136-188)."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, hgt, wid, c = x.shape
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm")(x)
+        q = nn.Conv(c, (1, 1), name="q")(h).reshape(b, hgt * wid, c)
+        k = nn.Conv(c, (1, 1), name="k")(h).reshape(b, hgt * wid, c)
+        v = nn.Conv(c, (1, 1), name="v")(h).reshape(b, hgt * wid, c)
+        w = jnp.einsum("bic,bjc->bij", q, k) * (c**-0.5)
+        w = jax.nn.softmax(w, axis=2)
+        out = jnp.einsum("bij,bjc->bic", w, v).reshape(b, hgt, wid, c)
+        return x + nn.Conv(c, (1, 1), name="proj_out")(out)
+
+
+def Downsample(dim: int, name: str = None) -> nn.Module:
+    """Stride-2 4x4 conv (deblurring...py:105-109)."""
+    return nn.Conv(dim, (4, 4), strides=(2, 2), padding=1, name=name)
+
+
+def Upsample(dim: int, name: str = None) -> nn.Module:
+    """Stride-2 4x4 transposed conv (deblurring...py:105-106)."""
+    return nn.ConvTranspose(dim, (4, 4), strides=(2, 2), padding="SAME", name=name)

@@ -81,6 +81,14 @@ class Degradation(struct.PyTreeNode):
         del rng, batch_size
         return self
 
+    def sample_x_end(self, rng: jax.Array, x: jnp.ndarray):
+        """Synthesize the degradation endpoint for ops that own one (hot noise
+        draws N(0,I), fade-generation draws a random constant color).  Returns
+        None when the endpoint must come from data (animorphosis) or when the
+        operator is deterministic (Family A)."""
+        del rng, x
+        return None
+
     def sample_rng_state(self, rng: jax.Array, batch_size: int):
         """Draw per-call randomness consumed by ``degrade`` (e.g. the
         Random_Incremental fade crops redrawn at every q_sample call,

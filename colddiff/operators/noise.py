@@ -10,6 +10,7 @@ second dataset for demixing/animorphosis (demixing_diffusion_pytorch.py:331-337,
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..schedules import cosine_alphas_cumprod
@@ -53,7 +54,10 @@ class Interpolation(Degradation):
 
 
 class GaussianNoise(Interpolation):
-    """Hot baseline: x_end ~ N(0, I), drawn by the trainer."""
+    """Hot baseline: x_end ~ N(0, I) (denoising_diffusion_pytorch.py:738-742)."""
+
+    def sample_x_end(self, rng, x):
+        return jax.random.normal(rng, x.shape, x.dtype)
 
 
 class Animorphosis(Interpolation):

@@ -1,0 +1,157 @@
+"""Reverse samplers as single fused ``lax.scan`` loops.
+
+The two universal Cold Diffusion algorithms plus DDIM-style estimation
+(SURVEY.md section 0), one scan body each instead of the reference's Python
+while-loops with O(t) re-degradation per step:
+
+  Algorithm 1 ('default'):       x_{t-1} = D(x0_hat, t-1)
+      (deblurring_diffusion_pytorch.py:428-434)
+  Algorithm 2 ('x0_step_down'):  x_{t-1} = x_t - D(x0_hat, t) + D(x0_hat, t-1)
+      (deblurring_diffusion_pytorch.py:436-451; TACoS)
+  'ddim' (Family B only):        Algorithm 2 with the endpoint x2 *estimated*
+      from x_t via get_x2_bar_from_xt (denoising_diffusion_pytorch.py:377-381)
+
+Because every operator's ``degrade`` is O(1) (gather + fused matmuls, see
+colddiff/ops/linop.py), a full T-step sampling run is O(T) UNet calls and
+O(T) small matmuls -- vs the reference's O(T^2) convolution chains.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .diffusion import ColdDiffusion, DenoiseFn
+
+__all__ = ["SampleResult", "prepare_start", "sample", "all_sample"]
+
+
+class SampleResult(NamedTuple):
+    xt: jnp.ndarray  # the (degraded) starting state x_T
+    direct_recons: jnp.ndarray  # the model's first direct reconstruction
+    img: jnp.ndarray  # the final reverse-sampled image
+    x0_trajectory: Optional[jnp.ndarray] = None  # [steps, B, H, W, C]
+    xt_trajectory: Optional[jnp.ndarray] = None  # [steps, B, H, W, C]
+
+
+def prepare_start(
+    diffusion: ColdDiffusion,
+    img: jnp.ndarray,
+    t: Optional[int] = None,
+    *,
+    x_end: Optional[jnp.ndarray] = None,
+    op_rng=None,
+) -> jnp.ndarray:
+    """Degrade a clean batch to the sampling start x_t (reference sample()
+    preamble, deblurring_diffusion_pytorch.py:399-415: t degradation steps,
+    with the discrete channel-mean collapse handled inside the operator)."""
+    steps = diffusion.num_timesteps if t is None else t
+    n = jnp.full((img.shape[0],), steps, dtype=jnp.int32)
+    return diffusion.op.degrade_sampling(img, n, x_end=x_end, og=img, rng=op_rng)
+
+
+def _reverse_step(diffusion, denoise_fn, img, t_cur, x_end, op_rng, noise_rng):
+    """One reverse step at level t_cur (number of applied steps, >= 1)."""
+    b = img.shape[0]
+    op = diffusion.op
+    step = jnp.full((b,), t_cur - 1, dtype=jnp.int32)  # model's t index
+    x0_hat = denoise_fn(img, step)
+    n_t = jnp.full((b,), t_cur, dtype=jnp.int32)
+    n_tm1 = n_t - 1
+
+    routine = diffusion.sampling_routine
+    train_routine = diffusion.train_routine
+
+    if train_routine == "Step":
+        # model directly predicts x_{t-1} (snowification diffusion.py:425-426)
+        return x0_hat, x0_hat
+    if train_routine == "Step_Gradient":
+        # model predicts x_{t-1} - x_t (snowification diffusion.py:428-429)
+        return img + x0_hat, x0_hat
+
+    if op.requires_x_end:
+        if routine == "ddim" or x_end is None:
+            x2 = op.x_end_from_xt(x0_hat, img, n_t)
+        else:
+            x2 = x_end  # fixed endpoint: the initial noise / constant image
+        xt_bar = op.degrade(x0_hat, n_t, x_end=x2, og=x0_hat)
+        xtm1_bar = op.degrade(x0_hat, n_tm1, x_end=x2, og=x0_hat)
+        return img - xt_bar + xtm1_bar, x0_hat
+
+    if routine == "default":
+        return op.degrade_sampling(x0_hat, n_tm1, og=x0_hat, rng=op_rng), x0_hat
+
+    if routine == "x0_step_down":
+        base = x0_hat
+        if diffusion.recon_noise_std > 0.0:
+            # snowification diffusion.py:222-225: perturb the reconstruction
+            # before re-degrading (x_{t-1} branch excluded at clone time).
+            base = x0_hat + diffusion.recon_noise_std * jax.random.normal(
+                noise_rng, x0_hat.shape
+            )
+        xt_bar = op.degrade(base, n_t, og=x0_hat, rng=op_rng)
+        xtm1_bar = op.degrade(base, n_tm1, og=x0_hat, rng=op_rng)
+        return img - xt_bar + xtm1_bar, x0_hat
+
+    raise NotImplementedError(routine)
+
+
+def sample(
+    diffusion: ColdDiffusion,
+    denoise_fn: DenoiseFn,
+    img: jnp.ndarray,
+    t: Optional[int] = None,
+    *,
+    x_end: Optional[jnp.ndarray] = None,
+    rng: Optional[jax.Array] = None,
+    trajectory: bool = False,
+) -> SampleResult:
+    """Run the full reverse loop from state ``img`` at level ``t`` (static).
+
+    ``img`` must already be degraded (use :func:`prepare_start` for the
+    conditional eval path).  For Family-B generation, ``x_end`` is the fixed
+    endpoint (the start noise / constant image) used by 'x0_step_down'; leave
+    None (or routine 'ddim') to estimate it per step.
+    """
+    steps = diffusion.num_timesteps if t is None else int(t)
+    if rng is None:
+        rng = jax.random.key(0)
+    op_rngs = jax.random.split(jax.random.fold_in(rng, 1), steps)
+    noise_rngs = jax.random.split(jax.random.fold_in(rng, 2), steps)
+
+    def body(carry, inputs):
+        cur, direct = carry
+        k, op_rng, noise_rng = inputs
+        t_cur = steps - k
+        new_img, x0_hat = _reverse_step(
+            diffusion, denoise_fn, cur, t_cur, x_end, op_rng, noise_rng
+        )
+        direct = jnp.where(k == 0, x0_hat, direct)
+        ys = (x0_hat, cur) if trajectory else None
+        return (new_img, direct), ys
+
+    ks = jnp.arange(steps)
+    (final, direct), ys = jax.lax.scan(
+        body, (img, jnp.zeros_like(img)), (ks, op_rngs, noise_rngs)
+    )
+    if trajectory:
+        x0_traj, xt_traj = ys
+        return SampleResult(img, direct, final, x0_traj, xt_traj)
+    return SampleResult(img, direct, final)
+
+
+def all_sample(
+    diffusion: ColdDiffusion,
+    denoise_fn: DenoiseFn,
+    img: jnp.ndarray,
+    t: Optional[int] = None,
+    *,
+    x_end: Optional[jnp.ndarray] = None,
+    rng: Optional[jax.Array] = None,
+) -> SampleResult:
+    """Reverse loop that also returns the full [steps, B, H, W, C]
+    reconstruction/state trajectories (reference all_sample,
+    deblurring_diffusion_pytorch.py:609-689)."""
+    return sample(diffusion, denoise_fn, img, t, x_end=x_end, rng=rng, trajectory=True)

@@ -1,0 +1,77 @@
+"""Small shared utilities: EMA tree ops, image grid / GIF saving, cycling."""
+
+from __future__ import annotations
+
+import math
+import os
+from pathlib import Path
+from typing import Iterable, Iterator
+
+import jax
+import numpy as np
+
+__all__ = [
+    "ema_update",
+    "cycle",
+    "to_uint8_grid",
+    "save_image_grid",
+    "save_gif",
+    "create_folder",
+]
+
+
+def ema_update(ema_params, new_params, decay: float):
+    """EMA shadow update: old * decay + new * (1 - decay)
+    (reference EMA.update_average, deblurring_diffusion_pytorch.py:66-81)."""
+    return jax.tree_util.tree_map(
+        lambda e, p: e * decay + p * (1.0 - decay), ema_params, new_params
+    )
+
+
+def cycle(iterable: Iterable) -> Iterator:
+    while True:
+        for item in iterable:
+            yield item
+
+
+def to_uint8_grid(images: np.ndarray, nrow: int = 6) -> np.ndarray:
+    """[B, H, W, C] in [-1, 1] -> one [gH, gW, 3] uint8 grid (2px padding),
+    matching torchvision save_image((x+1)*0.5, nrow=6) usage in the Trainers."""
+    images = np.asarray(images)
+    b, h, w, c = images.shape
+    if c == 1:
+        images = np.repeat(images, 3, axis=-1)
+        c = 3
+    ncol = min(nrow, b)
+    nrw = math.ceil(b / ncol)
+    pad = 2
+    grid = np.ones((nrw * (h + pad) + pad, ncol * (w + pad) + pad, 3), dtype=np.float32)
+    for i in range(b):
+        r, cl = divmod(i, ncol)
+        y0 = pad + r * (h + pad)
+        x0 = pad + cl * (w + pad)
+        grid[y0 : y0 + h, x0 : x0 + w] = (images[i] + 1.0) * 0.5
+    return (np.clip(grid, 0.0, 1.0) * 255).astype(np.uint8)
+
+
+def save_image_grid(images: np.ndarray, path: str | os.PathLike, nrow: int = 6) -> None:
+    from PIL import Image
+
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    Image.fromarray(to_uint8_grid(images, nrow)).save(path)
+
+
+def save_gif(frames: list[np.ndarray], path: str | os.PathLike, fps: int = 5) -> None:
+    """Save a list of [B, H, W, C] batches in [-1, 1] as an animated grid GIF
+    (reference save_gif, snowification/diffusion/diffusion.py:764-807)."""
+    from PIL import Image
+
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    pil = [Image.fromarray(to_uint8_grid(f)) for f in frames]
+    pil[0].save(
+        path, save_all=True, append_images=pil[1:], duration=int(1000 / fps), loop=0
+    )
+
+
+def create_folder(path: str | os.PathLike) -> None:
+    Path(path).mkdir(parents=True, exist_ok=True)

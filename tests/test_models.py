@@ -1,0 +1,73 @@
+"""Model family tests: shapes, jit, time-conditioning."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from colddiff.models import UnetConvNext, UnetResNet, get_model
+
+
+def test_unet_convnext_shapes_and_time_cond():
+    model = UnetConvNext(dim=16, dim_mults=(1, 2), channels=3)
+    x = jnp.zeros((2, 16, 16, 3))
+    t = jnp.asarray([0, 5])
+    params = model.init(jax.random.key(0), x, t)
+    y = model.apply(params, x, t)
+    assert y.shape == x.shape
+    # time conditioning changes the output
+    xr = jax.random.normal(jax.random.key(1), x.shape)
+    y0 = model.apply(params, xr, jnp.asarray([0, 0]))
+    y1 = model.apply(params, xr, jnp.asarray([9, 9]))
+    assert not np.allclose(np.asarray(y0), np.asarray(y1))
+
+
+def test_unet_convnext_residual_and_mean_scale():
+    x = jax.random.normal(jax.random.key(0), (1, 8, 8, 3))
+    t = jnp.asarray([1])
+    res = UnetConvNext(dim=8, dim_mults=(1, 2), residual=True)
+    p = res.init(jax.random.key(1), x, t)
+    base = UnetConvNext(dim=8, dim_mults=(1, 2), residual=False)
+    yb = base.apply(p, x, t)
+    yr = res.apply(p, x, t)
+    np.testing.assert_allclose(np.asarray(yr), np.asarray(yb + x), atol=1e-5)
+
+    ms = UnetConvNext(dim=8, dim_mults=(1, 2), output_mean_scale=True)
+    yms = ms.apply(p, x, t)
+    want = yb - jnp.mean(x, axis=(1, 2, 3), keepdims=True) + jnp.mean(
+        yb, axis=(1, 2, 3), keepdims=True
+    )
+    np.testing.assert_allclose(np.asarray(yms), np.asarray(want), atol=1e-5)
+
+
+def test_unet_convnext_no_time_emb():
+    model = UnetConvNext(dim=8, dim_mults=(1, 2), with_time_emb=False)
+    x = jnp.zeros((1, 8, 8, 3))
+    params = model.init(jax.random.key(0), x, None)
+    assert model.apply(params, x, None).shape == x.shape
+
+
+def test_unet_resnet_shapes_attn_and_dropout():
+    model = UnetResNet(
+        resolution=16, ch=32, ch_mult=(1, 2), num_res_blocks=1,
+        attn_resolutions=(8,), dropout=0.5,
+    )
+    x = jnp.zeros((2, 16, 16, 3))
+    t = jnp.asarray([3, 7])
+    params = model.init(jax.random.key(0), x, t)
+    y = model.apply(params, x, t)
+    assert y.shape == x.shape
+    # dropout active in train mode
+    xr = jax.random.normal(jax.random.key(1), x.shape)
+    y1 = model.apply(params, xr, t, train=True, rngs={"dropout": jax.random.key(2)})
+    y2 = model.apply(params, xr, t, train=True, rngs={"dropout": jax.random.key(3)})
+    assert not np.allclose(np.asarray(y1), np.asarray(y2))
+
+
+def test_get_model_selector():
+    m = get_model("UnetConvNext", dim=8, dim_mults=(1, 2))
+    assert isinstance(m, UnetConvNext)
+    m = get_model("UnetResNet", dataset="cifar10")
+    assert isinstance(m, UnetResNet) and m.resolution == 32
+    with pytest.raises(ValueError):
+        get_model("Nope")
