@@ -1,0 +1,273 @@
+"""Unified CLI mirroring the reference entry scripts' flag surface.
+
+The reference ships per-dataset argparse scripts per package
+(e.g. deblurring-diffusion-pytorch/mnist_train.py, celebA_128.py:51-74,
+snowification/train.py); this single CLI covers them all:
+
+  python -m colddiff.cli.main train --degradation blur --dataset mnist \
+      --data_path ./root_mnist --time_steps 20 --blur_size 11 --blur_std 7.0 \
+      --blur_routine Constant --sampling_routine x0_step_down
+
+  python -m colddiff.cli.main test --test_type test_data --load_path .../model ...
+
+Flag names match the reference (--time_steps, --blur_routine,
+--sampling_routine, --train_routine, --test_type, --residual,
+--remove_time_embed, --loss_type, --discrete, ...).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="colddiff")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp):
+        sp.add_argument("--degradation", default="blur",
+                        choices=["blur", "noise", "mix", "decolor", "fade",
+                                 "fade_naive", "fade_generation", "resolution",
+                                 "snow"])
+        sp.add_argument("--dataset", default="folder",
+                        help="mnist | cifar10 | folder | synthetic")
+        sp.add_argument("--data_path", default="./data")
+        sp.add_argument("--data_path_2", default=None,
+                        help="second dataset folder (demixing/animorphosis)")
+        sp.add_argument("--image_size", type=int, default=None)
+        sp.add_argument("--channels", type=int, default=None)
+        sp.add_argument("--time_steps", type=int, default=50)
+        sp.add_argument("--model", default="UnetConvNext",
+                        choices=["UnetConvNext", "UnetResNet"])
+        sp.add_argument("--dim", type=int, default=64)
+        sp.add_argument("--remove_time_embed", action="store_true")
+        sp.add_argument("--residual", action="store_true")
+        sp.add_argument("--loss_type", default="l1", choices=["l1", "l2", "sqrt"])
+        sp.add_argument("--train_routine", default="Final")
+        sp.add_argument("--sampling_routine", default="x0_step_down")
+        sp.add_argument("--discrete", action="store_true")
+        sp.add_argument("--recon_noise_std", type=float, default=0.0)
+        sp.add_argument("--save_folder", default="./results")
+        sp.add_argument("--load_path", default=None)
+        sp.add_argument("--batch_size", type=int, default=32)
+        sp.add_argument("--seed", type=int, default=0)
+        sp.add_argument("--bf16", action="store_true")
+        # blur
+        sp.add_argument("--blur_routine", default="Incremental")
+        sp.add_argument("--blur_size", type=int, default=3, dest="blur_size")
+        sp.add_argument("--blur_std", type=float, default=0.1)
+        # fade
+        sp.add_argument("--fade_routine", default="Incremental")
+        sp.add_argument("--kernel_std", type=float, default=0.1)
+        sp.add_argument("--initial_mask", type=int, default=11)
+        sp.add_argument("--reverse", action="store_true")
+        # resolution
+        sp.add_argument("--resolution_routine", default="Incremental")
+        # decolor
+        sp.add_argument("--decolor_routine", default="Constant")
+        sp.add_argument("--decolor_ema_factor", type=float, default=0.9)
+        sp.add_argument("--decolor_total_remove", action="store_true")
+        sp.add_argument("--to_lab", action="store_true")
+        # snow
+        sp.add_argument("--snow_level", type=int, default=1)
+        sp.add_argument("--random_snow", action="store_true")
+        sp.add_argument("--single_snow", action="store_true")
+        sp.add_argument("--fix_brightness", action="store_true")
+
+    tr = sub.add_parser("train")
+    common(tr)
+    tr.add_argument("--train_steps", type=int, default=700000)
+    tr.add_argument("--lr", type=float, default=2e-5)
+    tr.add_argument("--grad_accum", type=int, default=2)
+    tr.add_argument("--ema_decay", type=float, default=0.995)
+    tr.add_argument("--save_and_sample_every", type=int, default=1000)
+
+    te = sub.add_parser("test")
+    common(te)
+    te.add_argument("--test_type", default="test_data",
+                    help="train_data | test_data | "
+                         "test_fid_distance_decrease_from_manifold | "
+                         "test_sample_and_save_for_fid | "
+                         "train_distribution_mean_blur_torch_gmm | "
+                         "test_paper_showing_diffusion_images")
+    te.add_argument("--fid_weights", default=None)
+    te.add_argument("--gmm_cluster", type=int, default=1)
+    te.add_argument("--noise", type=float, default=0.0)
+    te.add_argument("--test_start", type=int, default=0)
+    te.add_argument("--test_end", type=int, default=500)
+    return p
+
+
+_DATASET_DEFAULTS = {
+    "mnist": dict(image_size=28, channels=1),
+    "cifar10": dict(image_size=32, channels=3),
+    "folder": dict(image_size=128, channels=3),
+    "synthetic": dict(image_size=32, channels=3),
+}
+
+
+def make_dataset(args, image_size, train=True, channels=3):
+    from ..data.datasets import (
+        ArrayDataset,
+        ImageFolderDataset,
+        SyntheticDataset,
+        load_cifar10_batches,
+        load_mnist_idx,
+    )
+
+    if args.dataset == "synthetic":
+        return SyntheticDataset(image_size, channels, length=512, seed=args.seed)
+    if args.dataset == "mnist":
+        return ArrayDataset(load_mnist_idx(args.data_path, train=train))
+    if args.dataset == "cifar10":
+        return ArrayDataset(
+            load_cifar10_batches(args.data_path, train=train),
+            aug="cifar" if train else None,
+        )
+    return ImageFolderDataset(
+        args.data_path, image_size, aug="aug1" if train else "center", seed=args.seed
+    )
+
+
+def make_operator(args, image_size, channels):
+    from ..operators import get_operator
+
+    name = args.degradation
+    cfg = {"timesteps": args.time_steps}
+    if name == "blur":
+        cfg.update(image_size=image_size, blur_routine=args.blur_routine,
+                   kernel_size=args.blur_size, kernel_std=args.blur_std,
+                   discrete=args.discrete)
+    elif name in ("noise", "mix"):
+        pass
+    elif name == "decolor":
+        cfg.update(channels=channels, decolor_routine=args.decolor_routine,
+                   decolor_ema_factor=args.decolor_ema_factor,
+                   decolor_total_remove=args.decolor_total_remove,
+                   to_lab=args.to_lab)
+    elif name == "fade":
+        cfg.update(image_size=image_size, fade_routine=args.fade_routine,
+                   kernel_std=args.kernel_std, initial_mask=args.initial_mask,
+                   discrete=args.discrete)
+    elif name == "fade_naive":
+        cfg.update(image_size=image_size, fade_routine=args.fade_routine)
+    elif name == "fade_generation":
+        cfg.update(image_size=image_size, kernel_std=args.kernel_std,
+                   initial_mask=args.initial_mask, reverse=args.reverse)
+    elif name == "resolution":
+        cfg.update(image_size=image_size,
+                   resolution_routine=args.resolution_routine)
+    elif name == "snow":
+        cfg.update(image_size=image_size, snow_level=args.snow_level,
+                   random_snow=args.random_snow, single_snow=args.single_snow,
+                   fix_brightness=args.fix_brightness,
+                   batch_size=args.batch_size)
+    return get_operator(name, **cfg)
+
+
+def build(args):
+    from ..diffusion import ColdDiffusion
+    from ..models import get_model
+
+    defaults = _DATASET_DEFAULTS.get(args.dataset, _DATASET_DEFAULTS["folder"])
+    image_size = args.image_size or defaults["image_size"]
+    channels = args.channels or defaults["channels"]
+    op = make_operator(args, image_size, channels)
+    diffusion = ColdDiffusion(
+        op=op, image_size=image_size, channels=channels,
+        loss_type=args.loss_type, train_routine=args.train_routine,
+        sampling_routine=args.sampling_routine,
+        discrete=args.discrete, recon_noise_std=args.recon_noise_std,
+    )
+    model = get_model(
+        args.model, dataset=args.dataset, image_size=image_size,
+        channels=channels, with_time_emb=not args.remove_time_embed,
+        residual=args.residual, dim=args.dim,
+    )
+    return diffusion, model, image_size, channels
+
+
+def run_train(args):
+    from ..train import Trainer
+
+    diffusion, model, image_size, channels = build(args)
+    ds = make_dataset(args, image_size, train=True, channels=channels)
+    ds2 = None
+    if args.degradation == "mix":
+        if args.data_path_2 is None:
+            raise SystemExit("--data_path_2 required for mix/animorphosis")
+        from ..data.datasets import ImageFolderDataset
+
+        ds2 = ImageFolderDataset(args.data_path_2, image_size, aug="aug1",
+                                 seed=args.seed + 1)
+    trainer = Trainer(
+        diffusion, model, ds, second_dataset=ds2,
+        train_batch_size=args.batch_size, train_lr=args.lr,
+        train_num_steps=args.train_steps,
+        gradient_accumulate_every=args.grad_accum, ema_decay=args.ema_decay,
+        save_and_sample_every=args.save_and_sample_every,
+        results_folder=args.save_folder, load_path=args.load_path,
+        bf16=args.bf16, seed=args.seed,
+    )
+    trainer.train()
+
+
+def run_test(args):
+    import jax
+
+    from ..eval.harness import EvalHarness
+    from ..train import Trainer
+
+    diffusion, model, image_size, channels = build(args)
+    ds = make_dataset(args, image_size, train=False, channels=channels)
+    trainer = Trainer(
+        diffusion, model, ds, train_batch_size=args.batch_size,
+        results_folder=args.save_folder, load_path=args.load_path,
+        train_num_steps=0, seed=args.seed,
+    )
+    params = jax.device_get(trainer.state.ema_params)
+    harness = EvalHarness(diffusion, model, params,
+                          results_folder=args.save_folder,
+                          fid_weights=args.fid_weights)
+
+    tt = args.test_type
+    if tt in ("train_data", "test_data"):
+        batch = np.stack([ds[i] for i in range(min(args.batch_size, len(ds)))])
+        harness.test_from_data(batch)
+    elif tt == "test_fid_distance_decrease_from_manifold":
+        harness.fid_distance_decrease_from_manifold(
+            ds, start=args.test_start, end=args.test_end,
+            batch_size=args.batch_size,
+        )
+    elif tt == "test_sample_and_save_for_fid":
+        harness.sample_and_save_for_fid(batch_size=args.batch_size)
+    elif tt in ("train_distribution_mean_blur_torch_gmm",
+                "train_distribution_mean_blur_torch_gmm_ablation"):
+        res = harness.gmm_mean_samples(
+            ds, clusters=args.gmm_cluster, num=args.batch_size,
+            noise_level=args.noise,
+        )
+        from ..utils import save_image_grid
+
+        save_image_grid(np.asarray(res.img),
+                        harness.results_folder / "gmm_samples.png")
+    elif tt == "test_paper_showing_diffusion_images":
+        batch = np.stack([ds[i] for i in range(4)])
+        harness.paper_trajectory_strip(batch)
+    else:
+        raise SystemExit(f"unknown --test_type {tt}")
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.command == "train":
+        run_train(args)
+    else:
+        run_test(args)
+
+
+if __name__ == "__main__":
+    main()

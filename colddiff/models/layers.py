@@ -65,6 +65,23 @@ class ChannelLayerNorm(nn.Module):
         return (x - mean) / jnp.sqrt(var + self.eps) * g + b
 
 
+class FusedGroupNormSwish(nn.Module):
+    """GroupNorm(32, eps 1e-6) optionally fused with swish (Pallas on TPU)."""
+
+    num_groups: int = 32
+    eps: float = 1e-6
+    swish: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.pallas.groupnorm import group_norm_swish
+
+        c = x.shape[-1]
+        gamma = self.param("scale", nn.initializers.ones, (c,))
+        beta = self.param("bias", nn.initializers.zeros, (c,))
+        return group_norm_swish(x, gamma, beta, self.num_groups, self.eps, self.swish)
+
+
 class ConvNextBlock(nn.Module):
     """ConvNeXt block: depthwise 7x7 + (norm -> 3x3 -> GELU -> 3x3) + residual.
 
@@ -105,16 +122,24 @@ class LinearAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.pallas.linear_attention import linear_attention
+
         b, hgt, wid, c = x.shape
+        n = hgt * wid
         hidden = self.heads * self.dim_head
         qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False, name="to_qkv")(x)
-        qkv = qkv.reshape(b, hgt * wid, 3, self.heads, self.dim_head)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [b, n, h, d]
-        q = q * (self.dim_head**-0.5)
-        k = jax.nn.softmax(k, axis=1)  # over tokens
-        context = jnp.einsum("bnhd,bnhe->bhde", k, v)
-        out = jnp.einsum("bhde,bnhd->bnhe", context, q)
-        out = out.reshape(b, hgt, wid, hidden)
+        qkv = qkv.reshape(b, n, 3, self.heads, self.dim_head)
+        # [b, n, h, d] -> [b*h, n, d] for the fused kernel
+        q, k, v = (
+            qkv[:, :, i].transpose(0, 2, 1, 3).reshape(b * self.heads, n, self.dim_head)
+            for i in range(3)
+        )
+        out = linear_attention(q, k, v, self.dim_head**-0.5)
+        out = (
+            out.reshape(b, self.heads, n, self.dim_head)
+            .transpose(0, 2, 1, 3)
+            .reshape(b, hgt, wid, hidden)
+        )
         return nn.Conv(c, (1, 1), name="to_out")(out)
 
 
@@ -124,7 +149,7 @@ class SoftmaxAttention(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, hgt, wid, c = x.shape
-        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm")(x)
+        h = FusedGroupNormSwish(swish=False, name="norm")(x)
         q = nn.Conv(c, (1, 1), name="q")(h).reshape(b, hgt * wid, c)
         k = nn.Conv(c, (1, 1), name="k")(h).reshape(b, hgt * wid, c)
         v = nn.Conv(c, (1, 1), name="v")(h).reshape(b, hgt * wid, c)

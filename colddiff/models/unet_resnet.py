@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import SoftmaxAttention, swish
+from .layers import FusedGroupNormSwish, SoftmaxAttention, swish
 
 __all__ = ["UnetResNet"]
 
@@ -43,13 +43,11 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x, temb, *, train: bool):
         in_ch = x.shape[-1]
-        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm1")(x)
-        h = swish(h)
+        h = FusedGroupNormSwish(name="norm1")(x)
         h = nn.Conv(self.out_ch, (3, 3), padding=1, name="conv1")(h)
         if temb is not None:
             h = h + nn.Dense(self.out_ch, name="temb_proj")(swish(temb))[:, None, None, :]
-        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm2")(h)
-        h = swish(h)
+        h = FusedGroupNormSwish(name="norm2")(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = nn.Conv(self.out_ch, (3, 3), padding=1, name="conv2")(h)
         if in_ch != self.out_ch:
@@ -143,6 +141,5 @@ class UnetResNet(nn.Module):
                 h = _Upsample(self.resamp_with_conv, name=f"up_{i_level}_upsample")(h)
                 curr_res *= 2
 
-        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm_out")(h)
-        h = swish(h)
+        h = FusedGroupNormSwish(name="norm_out")(h)
         return nn.Conv(self.out_ch, (3, 3), padding=1, name="conv_out")(h)

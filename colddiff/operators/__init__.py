@@ -3,13 +3,23 @@
 from .base import Degradation
 from .blur import GaussianBlur
 from .decolor import Decolorization
+from .fade import Fade
+from .fade_generation import FadeGeneration
+from .fade_naive import FadeNaive
 from .noise import Animorphosis, GaussianNoise, Interpolation
+from .resolution import Resolution
+from .snow import Snow
 
 _REGISTRY = {
     "blur": GaussianBlur,
     "noise": GaussianNoise,
     "mix": Animorphosis,
     "decolor": Decolorization,
+    "fade": Fade,
+    "fade_naive": FadeNaive,
+    "fade_generation": FadeGeneration,
+    "resolution": Resolution,
+    "snow": Snow,
 }
 
 
@@ -33,6 +43,11 @@ __all__ = [
     "Animorphosis",
     "Interpolation",
     "Decolorization",
+    "Fade",
+    "FadeNaive",
+    "FadeGeneration",
+    "Resolution",
+    "Snow",
     "get_operator",
     "register",
 ]

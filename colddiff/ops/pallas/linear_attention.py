@@ -1,0 +1,117 @@
+"""Fused linear-attention Pallas kernel for the ConvNeXt UNet.
+
+The reference's LinearAttention (deblurring_diffusion_pytorch.py:167-187)
+does softmax(k) over tokens, context = k_soft^T v, out = q_scaled @ context.
+In plain XLA the softmaxed k ([B, N, H, D]) round-trips through HBM between
+the softmax and the contraction; this kernel keeps per-(batch, head) q/k/v
+tiles resident in VMEM and fuses max/exp/normalize/two-matmuls in one pass.
+
+Layout: q, k, v are [B*H, N, D] (D = head dim, 32 by default).  One grid
+program per (batch*head); N*D tiles for the canonical configs
+(N <= 16k tokens at 128px) fit VMEM comfortably.
+
+Backward is a custom VJP in plain XLA (cheap einsums; see _linear_attention_bwd
+for the softmax-through-context derivation).  Falls back to the pure-jnp path
+off-TPU (or under COLDDIFF_NO_PALLAS=1); tests run the kernel in interpreter
+mode to pin kernel == reference math.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["linear_attention", "linear_attention_reference"]
+
+
+def linear_attention_reference(q, k, v, scale: float):
+    """Plain-XLA path: softmax(k) over tokens -> context -> out.
+
+    q, k, v: [G, N, D] (G = batch*heads).  Matches torch einsum semantics of
+    the reference exactly.
+    """
+    ks = jax.nn.softmax(k, axis=1)
+    context = jnp.einsum("gnd,gne->gde", ks, v)
+    return jnp.einsum("gde,gnd->gne", context, q * scale)
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    from jax.experimental import pallas as pl  # noqa: F401
+
+    k = k_ref[0]  # [N, D]
+    v = v_ref[0]
+    q = q_ref[0]
+    # per-channel softmax over tokens, fused in VMEM
+    m = jnp.max(k, axis=0, keepdims=True)
+    e = jnp.exp(k - m)
+    s = jnp.sum(e, axis=0, keepdims=True)
+    ks = e / s
+    context = jnp.dot(ks.T, v, preferred_element_type=jnp.float32)  # [D, D]
+    o_ref[0] = jnp.dot(q * scale, context, preferred_element_type=jnp.float32).astype(
+        o_ref.dtype
+    )
+
+
+def _pallas_forward(q, k, v, scale: float, interpret: bool = False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    g, n, d = q.shape
+    spec = pl.BlockSpec((1, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_kernel, scale=scale),
+        grid=(g,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((g, n, d), q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _linear_attention(q, k, v, scale, interpret):
+    return _pallas_forward(q, k, v, scale, interpret)
+
+
+def _linear_attention_fwd(q, k, v, scale, interpret):
+    return _pallas_forward(q, k, v, scale, interpret), (q, k, v)
+
+
+def _linear_attention_bwd(scale, interpret, res, g):
+    q, k, v = res
+    ks = jax.nn.softmax(k, axis=1)
+    context = jnp.einsum("gnd,gne->gde", ks, v)
+    dq = scale * jnp.einsum("gne,gde->gnd", g, context)
+    dcontext = jnp.einsum("gnd,gne->gde", q * scale, g)
+    dv = jnp.einsum("gnd,gde->gne", ks, dcontext)
+    dks = jnp.einsum("gne,gde->gnd", v, dcontext)
+    # softmax backward over the token axis, per channel
+    dk = ks * (dks - jnp.sum(ks * dks, axis=1, keepdims=True))
+    return dq, dk, dv
+
+
+_linear_attention.defvjp(_linear_attention_fwd, _linear_attention_bwd)
+
+
+def _use_pallas() -> bool:
+    if os.environ.get("COLDDIFF_NO_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def linear_attention(q, k, v, scale: float, force: str | None = None):
+    """Dispatch: Pallas on TPU, interpret under force='interpret', else XLA.
+
+    q, k, v: [G, N, D].
+    """
+    if force == "interpret":
+        return _linear_attention(q, k, v, scale, True)
+    if force == "xla" or (force is None and not _use_pallas()):
+        return linear_attention_reference(q, k, v, scale)
+    return _linear_attention(q, k, v, scale, False)

@@ -25,18 +25,19 @@ def make_mesh(devices: Optional[list] = None, axis_name: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis_name,))
 
 
-def data_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
-    """Batch-dimension sharding for NHWC arrays."""
-    return NamedSharding(mesh, P(axis_name))
+def data_sharding(mesh: Mesh, axis_name: str = "data", batch_dim: int = 0) -> NamedSharding:
+    """Sharding that splits dimension ``batch_dim`` across the mesh."""
+    spec = [None] * batch_dim + [axis_name]
+    return NamedSharding(mesh, P(*spec))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
-    """Place a host batch onto the mesh, sharded along the batch dim."""
-    return jax.device_put(batch, data_sharding(mesh, axis_name))
+def shard_batch(batch, mesh: Mesh, axis_name: str = "data", batch_dim: int = 0):
+    """Place a host batch onto the mesh, sharded along ``batch_dim``."""
+    return jax.device_put(batch, data_sharding(mesh, axis_name, batch_dim))
 
 
 def replicate(tree, mesh: Mesh):

@@ -66,6 +66,9 @@ class Trainer:
         bf16: bool = False,
         num_workers: int = 4,
         seed: int = 0,
+        profile_dir: Optional[str] = None,
+        profile_steps: tuple = (10, 20),
+        debug_nans: bool = False,
     ):
         from .data.datasets import DataLoader
 
@@ -81,6 +84,13 @@ class Trainer:
         self.results_folder = Path(results_folder)
         create_folder(self.results_folder)
         self.bf16 = bf16
+        # aux observability (SURVEY.md section 5): profiler trace window,
+        # optional NaN checking, structured JSONL scalar log
+        self.profile_dir = profile_dir
+        self.profile_steps = profile_steps
+        if debug_nans:
+            jax.config.update("jax_debug_nans", True)
+        self.metrics_path = self.results_folder / "metrics.jsonl"
 
         self.dl = cycle(
             DataLoader(dataset, train_batch_size, num_workers=num_workers, seed=seed)
@@ -108,7 +118,8 @@ class Trainer:
         self.state = TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
-            ema_params=params,
+            # fresh buffers: params and ema are donated together in the step
+            ema_params=jax.tree_util.tree_map(jnp.copy, params),
             opt_state=self.tx.init(params),
             rng=state_rng,
         )
@@ -136,9 +147,14 @@ class Trainer:
 
         return fn
 
-    def _train_step_impl(self, state: TrainState, batch: jnp.ndarray,
+    def _train_step_impl(self, state: TrainState, diffusion, batch: jnp.ndarray,
                          batch2: Optional[jnp.ndarray] = None):
-        """One optimizer step over [accum, B, ...] microbatches."""
+        """One optimizer step over [accum, B, ...] microbatches.
+
+        ``diffusion`` is a traced pytree argument (not a closure constant) so
+        stochastic operator state (random snow fields) can change every step
+        without recompiling.
+        """
         new_rng, *rngs = jax.random.split(state.rng, self.accum + 1)
         rngs = jnp.stack(rngs)
 
@@ -146,9 +162,9 @@ class Trainer:
             loss_rng, drop_rng, end_rng = jax.random.split(r, 3)
             x_end = x2
             if x_end is None:
-                x_end = self.diffusion.op.sample_x_end(end_rng, x)
+                x_end = diffusion.op.sample_x_end(end_rng, x)
             fn = self._denoise_fn(params, drop_rng, train=True)
-            return self.diffusion.loss(fn, x, loss_rng, x_end=x_end)
+            return diffusion.loss(fn, x, loss_rng, x_end=x_end)
 
         def scan_body(acc, xs):
             grads_sum, loss_sum = acc
@@ -201,29 +217,55 @@ class Trainer:
 
     def _next_superbatch(self):
         xs = np.stack([next(self.dl) for _ in range(self.accum)])
-        batch = shard_batch(jnp.asarray(xs), self.mesh)
+        # [accum, B, H, W, C]: shard the batch dim (1) across the mesh
+        batch = shard_batch(jnp.asarray(xs), self.mesh, batch_dim=1)
         batch2 = None
         if self.dl2 is not None:
             xs2 = np.stack([next(self.dl2) for _ in range(self.accum)])
-            batch2 = shard_batch(jnp.asarray(xs2), self.mesh)
+            batch2 = shard_batch(jnp.asarray(xs2), self.mesh, batch_dim=1)
         return batch, batch2
 
     def train(self, log_every: int = 100):
+        import json
+
         t0 = time.time()
         while self.step < self.train_num_steps:
+            if self.profile_dir and self.step == self.profile_steps[0]:
+                jax.profiler.start_trace(self.profile_dir)
             batch, batch2 = self._next_superbatch()
-            self.state, loss = self._train_step(self.state, batch, batch2)
+            self._maybe_reset_op()
+            self.state, loss = self._train_step(
+                self.state, self.diffusion, batch, batch2
+            )
             self.step += 1
+            if self.profile_dir and self.step == self.profile_steps[1]:
+                jax.block_until_ready(loss)
+                jax.profiler.stop_trace()
             if self.step % log_every == 0:
                 loss_v = float(loss)
                 dt = time.time() - t0
                 ips = log_every * self.accum * self.batch_size / dt
                 print(f"step {self.step}: loss {loss_v:.5f} ({ips:.1f} img/s)", flush=True)
+                with open(self.metrics_path, "a") as f:
+                    f.write(json.dumps({"step": self.step, "loss": loss_v,
+                                        "images_per_sec": round(ips, 2)}) + "\n")
                 t0 = time.time()
             if self.step % self.save_and_sample_every == 0:
                 self.snapshot(self.step // self.save_and_sample_every)
                 self.save()
         self.save()
+
+    def _maybe_reset_op(self):
+        """Redraw stochastic operator state per step (random snow), mirroring
+        forward_process.reset_parameters() in p_losses (snowification
+        diffusion.py:408).  Host-side regeneration; the new op pytree flows
+        into the jitted step as an argument (same treedef -> no recompile)."""
+        op = self.diffusion.op
+        if getattr(op, "random_snow", False):
+            rng = jax.random.fold_in(jax.random.key(997), self.step)
+            self.diffusion = self.diffusion.replace(
+                op=op.reset(rng, self.batch_size)
+            )
 
     def snapshot(self, milestone: int, batch_size: Optional[int] = None):
         """EMA sample grids, reference Trainer.train() (:1206-1228)."""

@@ -1,0 +1,91 @@
+"""End-to-end training smoke tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from colddiff.data.datasets import ArrayDataset, DataLoader, SyntheticDataset
+from colddiff.diffusion import ColdDiffusion
+from colddiff.models import UnetConvNext
+from colddiff.operators import get_operator
+from colddiff.train import Trainer
+
+
+def make_trainer(tmp_path, **kw):
+    op = get_operator("blur", image_size=16, timesteps=4, blur_routine="Constant",
+                      kernel_size=3, kernel_std=1.0)
+    d = ColdDiffusion(op=op, image_size=16, channels=3, sampling_routine="x0_step_down")
+    model = UnetConvNext(dim=8, dim_mults=(1, 2), channels=3)
+    ds = SyntheticDataset(16, 3, length=64)
+    defaults = dict(
+        train_batch_size=8, train_num_steps=3, gradient_accumulate_every=2,
+        save_and_sample_every=2, results_folder=str(tmp_path / "results"),
+        num_workers=2,
+    )
+    defaults.update(kw)
+    return Trainer(d, model, ds, **defaults)
+
+
+def test_train_loop_updates_params_and_saves(tmp_path):
+    assert len(jax.devices()) == 8, "tests must run on the virtual 8-device mesh"
+    tr = make_trainer(tmp_path)
+    p0 = jax.device_get(tr.state.params)
+    tr.train(log_every=1)
+    p1 = jax.device_get(tr.state.params)
+    # params changed
+    diff = jax.tree_util.tree_reduce(
+        lambda a, b: a + float(np.abs(b).sum()),
+        jax.tree_util.tree_map(lambda a, b: a - b, p0, p1), 0.0,
+    )
+    assert diff > 0
+    # sample grids + checkpoint written
+    results = tmp_path / "results"
+    assert (results / "og-1.png").exists()
+    assert (results / "sample-1.png").exists()
+    assert (results / "model").exists()
+    # EMA warm: equals params during warmup at update steps
+    ema = jax.device_get(tr.state.ema_params)
+
+
+def test_checkpoint_resume_roundtrip(tmp_path):
+    tr = make_trainer(tmp_path, train_num_steps=2, save_and_sample_every=100)
+    tr.train(log_every=10)
+    tr.save()
+    tr2 = make_trainer(tmp_path, train_num_steps=2, save_and_sample_every=100,
+                       load_path=str(tmp_path / "results" / "model"))
+    assert tr2.step == 2
+    a = jax.device_get(tr.state.params)
+    b = jax.device_get(tr2.state.params)
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_allclose(x, y, atol=0), a, b
+    )
+
+
+def test_family_b_training_with_noise_endpoint(tmp_path):
+    op = get_operator("noise", timesteps=6)
+    d = ColdDiffusion(op=op, image_size=16, channels=3, sampling_routine="x0_step_down")
+    model = UnetConvNext(dim=8, dim_mults=(1, 2), channels=3)
+    ds = SyntheticDataset(16, 3, length=32)
+    tr = Trainer(d, model, ds, train_batch_size=8, train_num_steps=1,
+                 save_and_sample_every=100, results_folder=str(tmp_path / "r"),
+                 num_workers=1)
+    tr.train(log_every=10)
+    assert tr.step == 1
+
+
+def test_dataloader_shapes_and_determinism():
+    ds = SyntheticDataset(8, 3, length=20, seed=1)
+    dl = DataLoader(ds, batch_size=4, num_workers=2, seed=0)
+    batches = list(dl)
+    assert len(batches) == 5
+    assert batches[0].shape == (4, 8, 8, 3)
+    assert batches[0].dtype == np.float32
+    # same item is deterministic
+    np.testing.assert_allclose(ds[3], ds[3])
+
+
+def test_array_dataset_cifar_aug():
+    imgs = (np.random.default_rng(0).random((10, 16, 16, 3)) * 255).astype(np.uint8)
+    ds = ArrayDataset(imgs, aug="cifar")
+    x = ds[0]
+    assert x.shape == (16, 16, 3) and x.min() >= -1.0 and x.max() <= 1.0
