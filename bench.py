@@ -5,13 +5,15 @@ with the flagship ConvNeXt UNet (dim=64, mults (1,2,4,8)) and the reference's
 CelebA-128 blur config (T=200, kernel 15, std 0.01, Exponential_reflect,
 x0_step_down sampling -- README.md:74,80).
 
-``vs_baseline`` is measured against a faithful same-chip implementation of the
-*reference algorithm* (sequential per-step depthwise conv chains inside the
-reverse loop, O(T) convs per D(x0,t) call => O(T^2) per run, exactly the cost
-model of deblurring_diffusion_pytorch.py:393-455), with the identical UNet.
-The reference repo publishes no numbers (BASELINE.json "published": {}), so
-same-hardware algorithmic speedup is the honest comparable; the additional
-TPU-vs-A100 hardware factor comes on top of it.
+``vs_baseline``: the reference repo publishes no numbers (BASELINE.json
+"published": {}), so the honest comparable is the *reference algorithm on the
+same chip*: Algorithm 2 with sequential per-step depthwise conv chains
+(O(T) convs per D(x0,t) call -> T + T^2 convs per run plus T UNet calls,
+exactly the cost model of deblurring_diffusion_pytorch.py:393-455 / :927-960).
+A single fused T=200 naive program is too large to execute reliably, so the
+baseline time is composed from measured on-chip per-op times
+(t_unet, t_conv), cross-checked by running the full naive program at T=50.
+The TPU-vs-A100 hardware factor comes on top of this algorithmic ratio.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
@@ -30,6 +32,7 @@ KS = 15
 STD = 0.01
 ROUTINE = "Exponential_reflect"
 RUNS = 3
+NAIVE_CHECK_T = 50
 
 
 def build():
@@ -57,9 +60,56 @@ def time_fn(fn, *args, runs=RUNS):
     return (time.time() - t0) / runs, out
 
 
+def make_naive(model, params, t_steps):
+    """Reference-algorithm sampler: sequential masked conv chains."""
+    from colddiff.schedules import blur_routine_params, gaussian_kernel_2d
+
+    kparams = blur_routine_params(ROUTINE, t_steps, KS, STD)
+    kernels = jnp.asarray(
+        np.stack([gaussian_kernel_2d((k, k), (s, s)) for (k, s, _) in kparams])
+    )
+    pad = (KS - 1) // 2
+    w_all = jnp.tile(kernels[:, :, :, None, None], (1, 1, 1, 1, 3))  # [T,k,k,1,3]
+
+    def conv_step(x, w):
+        xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+        return jax.lax.conv_general_dilated(
+            xp, w, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=3,
+        )
+
+    def degrade_naive(x, n):
+        def body(carry, inp):
+            i, w = inp
+            y = conv_step(carry, w)
+            keep = (i < n).reshape(-1, 1, 1, 1)
+            return jnp.where(keep, y, carry), None
+
+        out, _ = jax.lax.scan(body, x, (jnp.arange(t_steps), w_all))
+        return out
+
+    @jax.jit
+    def naive(params, img):
+        full = jnp.full((img.shape[0],), t_steps)
+        start = degrade_naive(img, full)
+
+        def body(carry, k):
+            cur = carry
+            t_cur = t_steps - k
+            step = jnp.full((img.shape[0],), t_cur - 1, dtype=jnp.int32)
+            x0 = model.apply(params, cur, step)
+            xt_bar = degrade_naive(x0, jnp.full((img.shape[0],), 1) * t_cur)
+            xtm1_bar = degrade_naive(x0, jnp.full((img.shape[0],), 1) * (t_cur - 1))
+            return cur - xt_bar + xtm1_bar, None
+
+        out, _ = jax.lax.scan(body, start, jnp.arange(t_steps))
+        return out
+
+    return naive, conv_step, w_all
+
+
 def main():
     from colddiff.sampling import prepare_start, sample
-    from colddiff.schedules import blur_routine_params, gaussian_kernel_2d
 
     d, model, params = build()
     rng = np.random.default_rng(0)
@@ -74,60 +124,46 @@ def main():
     dt, _ = time_fn(ours, params, img)
     ips = BATCH / dt
 
-    # ---- reference cost model on the same chip ---------------------------- #
-    kparams = blur_routine_params(ROUTINE, T, KS, STD)
-    kernels = jnp.asarray(
-        np.stack([gaussian_kernel_2d((k, k), (s, s)) for (k, s, _) in kparams])
-    )  # all same size KS here
-    pad = (KS - 1) // 2
+    extras = {}
+    vs_baseline = None
+    try:
+        naive_fn, conv_step, w_all = make_naive(model, params, NAIVE_CHECK_T)
 
-    def conv_step(x, k2d):
-        xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
-        w = jnp.tile(k2d[:, :, None, None], (1, 1, 1, 3))  # HWIO depthwise
-        return jax.lax.conv_general_dilated(
-            xp, w, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=3,
-        )
+        # per-op times for the composed T=200 baseline estimate
+        unet = jax.jit(lambda p, x: model.apply(p, x, jnp.zeros((BATCH,), jnp.int32)))
+        t_unet, _ = time_fn(unet, params, img, runs=5)
+        conv_j = jax.jit(lambda x: conv_step(x, w_all[0]))
+        t_conv, _ = time_fn(conv_j, img, runs=20)
 
-    def degrade_naive(x, n):
-        # sequential masked chain, the reference's q_sample cost model
-        def body(carry, inp):
-            i, k2d = inp
-            y = conv_step(carry, k2d)
-            keep = (i < n).reshape(-1, 1, 1, 1)
-            return jnp.where(keep, y, carry), None
+        naive_t200_est = T * t_unet + (T + T * T) * t_conv
+        ips_naive_est = BATCH / naive_t200_est
+        vs_baseline = ips / ips_naive_est
+        extras.update({
+            "t_unet_ms": round(t_unet * 1e3, 3),
+            "t_conv_ms": round(t_conv * 1e3, 4),
+            "baseline_T200_images_per_sec_composed": round(ips_naive_est, 3),
+        })
 
-        out, _ = jax.lax.scan(body, x, (jnp.arange(T), kernels))
-        return out
-
-    @jax.jit
-    def naive(params, img):
-        start = degrade_naive(img, jnp.full((BATCH,), T))
-        def body(carry, k):
-            cur = carry
-            t_cur = T - k
-            step = jnp.full((BATCH,), t_cur - 1, dtype=jnp.int32)
-            x0 = model.apply(params, cur, step)
-            xt_bar = degrade_naive(x0, jnp.full((BATCH,), 1) * t_cur)
-            xtm1_bar = degrade_naive(x0, jnp.full((BATCH,), 1) * (t_cur - 1))
-            return cur - xt_bar + xtm1_bar, None
-
-        out, _ = jax.lax.scan(body, start, jnp.arange(T))
-        return out
-
-    dt_naive, _ = time_fn(naive, params, img, runs=1)
-    ips_naive = BATCH / dt_naive
+        # cross-check: full naive program at T=50 vs composed estimate at T=50
+        dt_naive50, _ = time_fn(naive_fn, params, img, runs=1)
+        est50 = NAIVE_CHECK_T * t_unet + (NAIVE_CHECK_T + NAIVE_CHECK_T**2) * t_conv
+        extras.update({
+            "naive_T50_measured_s": round(dt_naive50, 3),
+            "naive_T50_composed_s": round(est50, 3),
+        })
+    except Exception as e:  # baseline must never block the headline number
+        extras["baseline_error"] = f"{type(e).__name__}: {e}"[:200]
 
     print(json.dumps({
         "metric": "sampled_images_per_sec_per_chip_128px_T200",
         "value": round(ips, 3),
         "unit": "images/sec/chip",
-        "vs_baseline": round(ips / ips_naive, 2),
-        "baseline_images_per_sec_same_chip_reference_algorithm": round(ips_naive, 3),
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
         "batch": BATCH,
         "timesteps": T,
         "model": "UnetConvNext(dim=64,(1,2,4,8))",
         "device": str(jax.devices()[0]),
+        **extras,
     }))
 
 

@@ -233,10 +233,22 @@ def run_test(args):
                           results_folder=args.save_folder,
                           fid_weights=args.fid_weights)
 
+    def first_batch(n=None):
+        return np.stack([ds[i] for i in range(min(n or args.batch_size, len(ds)))])
+
     tt = args.test_type
     if tt in ("train_data", "test_data"):
-        batch = np.stack([ds[i] for i in range(min(args.batch_size, len(ds)))])
-        harness.test_from_data(batch)
+        harness.test_from_data(first_batch())
+    elif tt == "mixup":
+        b = first_batch(2 * args.batch_size)
+        half = len(b) // 2
+        harness.test_with_mixup(b[:half], b[half:])
+    elif tt == "test_from_random":
+        harness.test_from_random(first_batch())
+    elif tt == "controlled_direct_reconstruct":
+        harness.controlled_direct_reconstruct(first_batch())
+    elif tt == "save_training_data":
+        harness.save_training_data(ds)
     elif tt == "test_fid_distance_decrease_from_manifold":
         harness.fid_distance_decrease_from_manifold(
             ds, start=args.test_start, end=args.test_end,

@@ -97,6 +97,52 @@ class EvalHarness:
         save_gif(list(xts), root / f"xt-{milestone}.gif", fps=fps)
         return res
 
+    def test_with_mixup(self, batch1, batch2, milestone: str = "mixup", rng=None):
+        """Sample from an average of two batches (snow diffusion.py:865-881)."""
+        og = (jnp.asarray(batch1) + jnp.asarray(batch2)) / 2.0
+        return self.test_from_data(np.asarray(og), milestone=milestone, rng=rng)
+
+    def test_from_random(self, batch, milestone: str = "random", rng=None):
+        """Sample from a 0.9-scaled batch (snow diffusion.py:884-895)."""
+        og = jnp.asarray(batch) * 0.9
+        return self.test_from_data(np.asarray(og), milestone=milestone, rng=rng)
+
+    def controlled_direct_reconstruct(self, batch, extra: str = "0", rng=None):
+        """Fixed-seed single-pass reconstruction grids
+        (defading_diffusion_gaussian.py:922-943)."""
+        rng = rng if rng is not None else jax.random.key(0)
+        og = jnp.asarray(batch)
+        start, x_end, op = self._degrade_start(og, rng)
+        res = sample(self.d.replace(op=op), self.denoise, start, x_end=x_end, rng=rng)
+        root = self.results_folder
+        for name, imgs in [("og", og), ("xt", res.xt),
+                           ("direct_recons", res.direct_recons),
+                           ("recon", res.img)]:
+            save_image_grid(np.asarray(imgs), root / f"sample-{name}-{extra}.png")
+        return res
+
+    def save_training_data(self, dataset, num: int = 64):
+        """Dump training images as PNGs (deblur :1712-1722)."""
+        out = self.results_folder / "training_data"
+        create_folder(out)
+        from PIL import Image
+
+        for i in range(min(num, len(dataset))):
+            arr = ((np.asarray(dataset[i]) + 1) * 127.5).astype(np.uint8)
+            if arr.shape[-1] == 1:
+                arr = arr[..., 0]
+            Image.fromarray(arr).save(out / f"{i}.png")
+        return out
+
+    def opt(self, batch, t: Optional[int] = None, rng=None):
+        """Pure forward degradation, no model (deblur ``opt``, :595-607)."""
+        rng = rng if rng is not None else jax.random.key(0)
+        og = jnp.asarray(batch)
+        steps = t if t is not None else self.d.num_timesteps
+        end_rng, op_rng = jax.random.split(rng)
+        x_end = self.d.op.sample_x_end(end_rng, og)
+        return prepare_start(self.d, og, steps, x_end=x_end, op_rng=op_rng)
+
     # ------------------------------------------------------------------ #
 
     def fid_distance_decrease_from_manifold(

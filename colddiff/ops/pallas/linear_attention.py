@@ -39,20 +39,26 @@ def linear_attention_reference(q, k, v, scale: float):
 
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    from jax.experimental import pallas as pl  # noqa: F401
-
-    k = k_ref[0]  # [N, D]
+    # transposed layout [D, N]: tokens ride the 128-lane axis (D=32 as the
+    # lane dim would pad 4x and overflow VMEM at N=16k)
+    k = k_ref[0]  # [D, N]
     v = v_ref[0]
     q = q_ref[0]
-    # per-channel softmax over tokens, fused in VMEM
-    m = jnp.max(k, axis=0, keepdims=True)
+    # per-channel softmax over tokens (last axis), fused in VMEM
+    m = jnp.max(k, axis=1, keepdims=True)
     e = jnp.exp(k - m)
-    s = jnp.sum(e, axis=0, keepdims=True)
+    s = jnp.sum(e, axis=1, keepdims=True)
     ks = e / s
-    context = jnp.dot(ks.T, v, preferred_element_type=jnp.float32)  # [D, D]
-    o_ref[0] = jnp.dot(q * scale, context, preferred_element_type=jnp.float32).astype(
-        o_ref.dtype
+    # context[d, e] = sum_n ks[d, n] v[e, n]
+    context = jax.lax.dot_general(
+        ks, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [D, E]
+    # out[e, n] = sum_d context[d, e] q_scaled[d, n]
+    out = jax.lax.dot_general(
+        context, q * scale, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
+    o_ref[0] = out.astype(o_ref.dtype)
 
 
 def _pallas_forward(q, k, v, scale: float, interpret: bool = False):
@@ -60,15 +66,20 @@ def _pallas_forward(q, k, v, scale: float, interpret: bool = False):
     from jax.experimental.pallas import tpu as pltpu
 
     g, n, d = q.shape
-    spec = pl.BlockSpec((1, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    qt, kt, vt = (x.transpose(0, 2, 1) for x in (q, k, v))  # [G, D, N]
+    spec = pl.BlockSpec((1, d, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
         functools.partial(_kernel, scale=scale),
         grid=(g,),
         in_specs=[spec, spec, spec],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((g, n, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((g, d, n), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=interpret,
-    )(q, k, v)
+    )(qt, kt, vt)
+    return out.transpose(0, 2, 1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))

@@ -1,0 +1,157 @@
+"""Checkpoint-importer tests: primitive conversions verified numerically vs
+torch; full-model mapping verified structurally against flax init shapes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn as nn
+from flax import linen as fnn
+
+from colddiff.models import UnetConvNext, UnetResNet
+from colddiff.models.import_torch import (
+    convert_conv,
+    convert_conv_transpose,
+    convert_depthwise_conv,
+    convert_linear,
+    import_unet_convnext,
+    import_unet_resnet,
+)
+
+
+def nchw(x):
+    return torch.as_tensor(np.transpose(x, (0, 3, 1, 2)), dtype=torch.float64)
+
+
+def to_nhwc(t):
+    return np.transpose(t.detach().numpy(), (0, 2, 3, 1))
+
+
+def test_conv_conversion(rng):
+    x = rng.standard_normal((2, 8, 8, 3)).astype(np.float32)
+    tconv = nn.Conv2d(3, 5, 3, padding=1).double()
+    want = to_nhwc(tconv(nchw(x)))
+    fconv = fnn.Conv(5, (3, 3), padding=1)
+    params = {"params": {"kernel": convert_conv(tconv.weight.detach().numpy()),
+                         "bias": tconv.bias.detach().numpy()}}
+    got = fconv.apply(jax.tree_util.tree_map(jnp.asarray, params), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_depthwise_conv_conversion(rng):
+    x = rng.standard_normal((2, 8, 8, 4)).astype(np.float32)
+    tconv = nn.Conv2d(4, 4, 7, padding=3, groups=4).double()
+    want = to_nhwc(tconv(nchw(x)))
+    fconv = fnn.Conv(4, (7, 7), padding=3, feature_group_count=4)
+    params = {"params": {
+        "kernel": convert_depthwise_conv(tconv.weight.detach().numpy()),
+        "bias": tconv.bias.detach().numpy()}}
+    got = fconv.apply(jax.tree_util.tree_map(jnp.asarray, params), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_conv_transpose_conversion(rng):
+    x = rng.standard_normal((2, 8, 8, 3)).astype(np.float32)
+    tconv = nn.ConvTranspose2d(3, 5, 4, 2, 1).double()
+    want = to_nhwc(tconv(nchw(x)))
+    fconv = fnn.ConvTranspose(5, (4, 4), strides=(2, 2), padding="SAME")
+    params = {"params": {
+        "kernel": convert_conv_transpose(tconv.weight.detach().numpy()),
+        "bias": tconv.bias.detach().numpy()}}
+    got = fconv.apply(jax.tree_util.tree_map(jnp.asarray, params), jnp.asarray(x))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_linear_conversion(rng):
+    x = rng.standard_normal((4, 6)).astype(np.float32)
+    tl = nn.Linear(6, 3).double()
+    want = tl(torch.as_tensor(x, dtype=torch.float64)).detach().numpy()
+    fl = fnn.Dense(3)
+    params = {"params": {"kernel": convert_linear(tl.weight.detach().numpy()),
+                         "bias": tl.bias.detach().numpy()}}
+    got = fl.apply(jax.tree_util.tree_map(jnp.asarray, params), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def _synth_convnext_sd(dim, dim_mults, channels):
+    """Synthesize a reference-layout state dict with correct torch shapes."""
+    rng = np.random.default_rng(0)
+    sd = {}
+
+    def conv(name, o, i, k):
+        sd[f"{name}.weight"] = rng.standard_normal((o, i, k, k)).astype(np.float32)
+        sd[f"{name}.bias"] = rng.standard_normal((o,)).astype(np.float32)
+
+    def block(name, din, dout, norm=True, time=True, mult=2):
+        sd[f"{name}.ds_conv.weight"] = rng.standard_normal(
+            (din, 1, 7, 7)).astype(np.float32)
+        sd[f"{name}.ds_conv.bias"] = rng.standard_normal((din,)).astype(np.float32)
+        if time:
+            sd[f"{name}.mlp.1.weight"] = rng.standard_normal(
+                (din, dim)).astype(np.float32)
+            sd[f"{name}.mlp.1.bias"] = rng.standard_normal((din,)).astype(np.float32)
+        if norm:
+            sd[f"{name}.net.0.g"] = np.ones((1, din, 1, 1), np.float32)
+            sd[f"{name}.net.0.b"] = np.zeros((1, din, 1, 1), np.float32)
+        conv(f"{name}.net.1", dout * mult, din, 3)
+        conv(f"{name}.net.3", dout, dout * mult, 3)
+        if din != dout:
+            conv(f"{name}.res_conv", dout, din, 1)
+
+    def attn(name, d):
+        hidden = 4 * 32
+        sd[f"{name}.fn.norm.g"] = np.ones((1, d, 1, 1), np.float32)
+        sd[f"{name}.fn.norm.b"] = np.zeros((1, d, 1, 1), np.float32)
+        sd[f"{name}.fn.fn.to_qkv.weight"] = rng.standard_normal(
+            (hidden * 3, d, 1, 1)).astype(np.float32)
+        conv(f"{name}.fn.fn.to_out", d, hidden, 1)
+
+    dims = [channels] + [dim * m for m in dim_mults]
+    in_out = list(zip(dims[:-1], dims[1:]))
+    sd["time_mlp.1.weight"] = rng.standard_normal((dim * 4, dim)).astype(np.float32)
+    sd["time_mlp.1.bias"] = rng.standard_normal((dim * 4,)).astype(np.float32)
+    sd["time_mlp.3.weight"] = rng.standard_normal((dim, dim * 4)).astype(np.float32)
+    sd["time_mlp.3.bias"] = rng.standard_normal((dim,)).astype(np.float32)
+    for i, (din, dout) in enumerate(in_out):
+        block(f"downs.{i}.0", din, dout, norm=i != 0)
+        block(f"downs.{i}.1", dout, dout)
+        attn(f"downs.{i}.2", dout)
+        if i < len(in_out) - 1:
+            conv(f"downs.{i}.3", dout, dout, 4)
+    mid = dims[-1]
+    block("mid_block1", mid, mid)
+    attn("mid_attn", mid)
+    block("mid_block2", mid, mid)
+    for i, (din, dout) in enumerate(reversed(in_out[1:])):
+        block(f"ups.{i}.0", dout * 2, din)
+        block(f"ups.{i}.1", din, din)
+        attn(f"ups.{i}.2", din)
+        if i < len(in_out) - 1:
+            sd[f"ups.{i}.3.weight"] = rng.standard_normal(
+                (din, din, 4, 4)).astype(np.float32)
+            sd[f"ups.{i}.3.bias"] = rng.standard_normal((din,)).astype(np.float32)
+    block("final_conv.0", dim, dim, time=False)
+    conv("final_conv.1", channels, dim, 1)
+    return sd
+
+
+def test_import_unet_convnext_structural():
+    dim, mults, ch = 8, (1, 2), 3
+    sd = _synth_convnext_sd(dim, mults, ch)
+    params = import_unet_convnext(sd, dim, mults, ch)
+    model = UnetConvNext(dim=dim, dim_mults=mults, channels=ch)
+    x = jnp.zeros((1, 16, 16, ch))
+    ref = model.init(jax.random.key(0), x, jnp.zeros((1,), jnp.int32))
+    # identical tree structure and shapes
+    ref_shapes = jax.tree_util.tree_map(lambda a: a.shape, ref)
+    got_shapes = jax.tree_util.tree_map(lambda a: np.asarray(a).shape, params)
+    assert jax.tree_util.tree_structure(ref_shapes) == jax.tree_util.tree_structure(
+        got_shapes
+    )
+    jax.tree_util.tree_map(lambda a, b: (a == b) or (_ for _ in ()).throw(
+        AssertionError(f"{a} != {b}")), ref_shapes, got_shapes)
+    # and the imported params actually run
+    y = model.apply(jax.tree_util.tree_map(jnp.asarray, params), x,
+                    jnp.zeros((1,), jnp.int32))
+    assert y.shape == x.shape
