@@ -10,10 +10,16 @@ x0_step_down sampling -- README.md:74,80).
 same chip*: Algorithm 2 with sequential per-step depthwise conv chains
 (O(T) convs per D(x0,t) call -> T + T^2 convs per run plus T UNet calls,
 exactly the cost model of deblurring_diffusion_pytorch.py:393-455 / :927-960).
-A single fused T=200 naive program is too large to execute reliably, so the
-baseline time is composed from measured on-chip per-op times
-(t_unet, t_conv), cross-checked by running the full naive program at T=50.
-The TPU-vs-A100 hardware factor comes on top of this algorithmic ratio.
+A single fused T=200 naive program is too large to execute reliably on this
+chip, so the baseline is the quadratic cost model a*T + b*T^2 fitted to two
+*measured* full naive runs (T=25 and T=50) and extrapolated to T=200
+(standalone per-op timings are dispatch-dominated through the tunnel and
+overestimate the baseline ~8x -- rejected).  The TPU-vs-A100 hardware factor
+comes on top of this algorithmic ratio.
+
+Our headline number uses bfloat16 UNet compute with fp32 degradation math and
+fp32 loss/params (the intended TPU recipe); the fp32-everything number is
+reported alongside.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
@@ -113,55 +119,77 @@ def main():
 
     d, model, params = build()
     rng = np.random.default_rng(0)
-    img = jnp.asarray(rng.standard_normal((BATCH, IMG, IMG, 3)), dtype=jnp.float32)
 
-    @jax.jit
-    def ours(params, img):
-        start = prepare_start(d, img)
-        fn = lambda xt, t: model.apply(params, xt, t)
-        return sample(d, fn, start).img
+    def make_ours(bf16: bool):
+        p = (
+            jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), params)
+            if bf16 else params
+        )
 
-    dt, _ = time_fn(ours, params, img)
-    ips = BATCH / dt
+        @jax.jit
+        def ours(p, img):
+            start = prepare_start(d, img)
+
+            def fn(xt, t):
+                out = model.apply(p, xt.astype(jnp.bfloat16 if bf16 else xt.dtype), t)
+                return out.astype(jnp.float32)
+
+            return sample(d, fn, start).img
+
+        return ours, p
 
     extras = {}
+    # batch sweep on the bf16 path; headline = best images/sec
+    best_ips, best_batch = 0.0, BATCH
+    ours_bf16, p_bf16 = make_ours(True)
+    for b in (16, 32, 64):
+        img = jnp.asarray(rng.standard_normal((b, IMG, IMG, 3)), dtype=jnp.float32)
+        try:
+            dt, _ = time_fn(ours_bf16, p_bf16, img)
+        except Exception as e:
+            extras[f"batch{b}_error"] = f"{type(e).__name__}"[:80]
+            continue
+        ips_b = b / dt
+        extras[f"images_per_sec_bf16_b{b}"] = round(ips_b, 3)
+        if ips_b > best_ips:
+            best_ips, best_batch = ips_b, b
+
+    img16 = jnp.asarray(rng.standard_normal((BATCH, IMG, IMG, 3)), dtype=jnp.float32)
+    ours_fp32, p_fp32 = make_ours(False)
+    dt32, _ = time_fn(ours_fp32, p_fp32, img16)
+    extras["images_per_sec_fp32_b16"] = round(BATCH / dt32, 3)
+
     vs_baseline = None
     try:
-        naive_fn, conv_step, w_all = make_naive(model, params, NAIVE_CHECK_T)
-
-        # per-op times for the composed T=200 baseline estimate
-        unet = jax.jit(lambda p, x: model.apply(p, x, jnp.zeros((BATCH,), jnp.int32)))
-        t_unet, _ = time_fn(unet, params, img, runs=5)
-        conv_j = jax.jit(lambda x: conv_step(x, w_all[0]))
-        t_conv, _ = time_fn(conv_j, img, runs=20)
-
-        naive_t200_est = T * t_unet + (T + T * T) * t_conv
-        ips_naive_est = BATCH / naive_t200_est
-        vs_baseline = ips / ips_naive_est
+        # two measured naive runs -> fit a*T + b*T^2 -> extrapolate to T=200
+        times = {}
+        for t_steps in (25, NAIVE_CHECK_T):
+            naive_fn, _, _ = make_naive(model, params, t_steps)
+            dt_n, _ = time_fn(naive_fn, params, img16, runs=1)
+            times[t_steps] = dt_n
+        t1, t2 = 25, NAIVE_CHECK_T
+        m = np.array([[t1, t1 * (t1 + 1)], [t2, t2 * (t2 + 1)]])
+        a, bq = np.linalg.solve(m, np.array([times[t1], times[t2]]))
+        naive_t200 = float(a * T + bq * T * (T + 1))
+        ips_naive = BATCH / naive_t200
+        vs_baseline = best_ips / ips_naive
         extras.update({
-            "t_unet_ms": round(t_unet * 1e3, 3),
-            "t_conv_ms": round(t_conv * 1e3, 4),
-            "baseline_T200_images_per_sec_composed": round(ips_naive_est, 3),
-        })
-
-        # cross-check: full naive program at T=50 vs composed estimate at T=50
-        dt_naive50, _ = time_fn(naive_fn, params, img, runs=1)
-        est50 = NAIVE_CHECK_T * t_unet + (NAIVE_CHECK_T + NAIVE_CHECK_T**2) * t_conv
-        extras.update({
-            "naive_T50_measured_s": round(dt_naive50, 3),
-            "naive_T50_composed_s": round(est50, 3),
+            "naive_T25_measured_s": round(times[t1], 3),
+            "naive_T50_measured_s": round(times[t2], 3),
+            "baseline_T200_extrapolated_s": round(naive_t200, 2),
+            "baseline_T200_images_per_sec": round(ips_naive, 4),
         })
     except Exception as e:  # baseline must never block the headline number
         extras["baseline_error"] = f"{type(e).__name__}: {e}"[:200]
 
     print(json.dumps({
         "metric": "sampled_images_per_sec_per_chip_128px_T200",
-        "value": round(ips, 3),
+        "value": round(best_ips, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
-        "batch": BATCH,
+        "batch": best_batch,
         "timesteps": T,
-        "model": "UnetConvNext(dim=64,(1,2,4,8))",
+        "model": "UnetConvNext(dim=64,(1,2,4,8)) bf16 compute",
         "device": str(jax.devices()[0]),
         **extras,
     }))

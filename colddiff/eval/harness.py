@@ -196,9 +196,13 @@ class EvalHarness:
 
     def sample_and_save_for_fid(
         self, num: int = 6400, batch_size: int = 128, rng=None, image_size=None,
-        out_name: str = "fid_out",
+        out_name: str = "fid_out", endpoint_dataset=None,
     ) -> Path:
-        """Family-B unconditional generation -> PNG tree."""
+        """Family-B unconditional generation -> PNG tree.
+
+        ``endpoint_dataset``: demixing samples from dataset-2 images instead
+        of noise (demixing_diffusion_pytorch.py:806-836).
+        """
         from PIL import Image
 
         rng = rng if rng is not None else jax.random.key(0)
@@ -209,11 +213,20 @@ class EvalHarness:
         sample_jit = jax.jit(
             lambda noise, r: sample(self.d, self.denoise, noise, x_end=noise, rng=r)
         )
+        ep_idx = 0
         while count < num:
             rng, nrng, srng = jax.random.split(rng, 3)
-            noise = jax.random.normal(
-                nrng, (batch_size, s, s, self.d.channels)
-            )
+            if endpoint_dataset is not None:
+                idxs = [(ep_idx + i) % len(endpoint_dataset)
+                        for i in range(batch_size)]
+                ep_idx += batch_size
+                noise = jnp.asarray(
+                    np.stack([endpoint_dataset[i] for i in idxs])
+                )
+            else:
+                noise = jax.random.normal(
+                    nrng, (batch_size, s, s, self.d.channels)
+                )
             res = sample_jit(noise, srng)
             imgs = np.asarray((jnp.clip(res.img, -1, 1) + 1) * 127.5).astype(np.uint8)
             for i in range(imgs.shape[0]):

@@ -69,6 +69,7 @@ class Trainer:
         profile_dir: Optional[str] = None,
         profile_steps: tuple = (10, 20),
         debug_nans: bool = False,
+        remat: bool = False,
     ):
         from .data.datasets import DataLoader
 
@@ -91,6 +92,8 @@ class Trainer:
         if debug_nans:
             jax.config.update("jax_debug_nans", True)
         self.metrics_path = self.results_folder / "metrics.jsonl"
+        # rematerialize the UNet in backward to trade FLOPs for HBM
+        self.remat = remat
 
         self.dl = cycle(
             DataLoader(dataset, train_batch_size, num_workers=num_workers, seed=seed)
@@ -145,6 +148,8 @@ class Trainer:
             )
             return out.astype(jnp.float32)
 
+        if self.remat and train:
+            fn = jax.checkpoint(fn)
         return fn
 
     def _train_step_impl(self, state: TrainState, diffusion, batch: jnp.ndarray,
@@ -287,20 +292,31 @@ class Trainer:
     # ------------------------------------------------------------------ #
 
     def save(self, path: Optional[str] = None):
+        """Checkpoint {step, train state, degradation-operator state}.
+
+        Including the operator pytree persists stochastic degradation state --
+        the reference's ``snow_base.npy``-beside-checkpoint behavior
+        (snowification diffusion.py:177-193) without the side file.
+        """
         import orbax.checkpoint as ocp
 
         path = Path(path or (self.results_folder / "model")).absolute()
         ckpt = ocp.PyTreeCheckpointer()
         state = jax.device_get(self.state)
-        ckpt.save(path, {"step": self.step, "state": state}, force=True)
+        op_state = jax.device_get(self.diffusion.op)
+        ckpt.save(path, {"step": self.step, "state": state, "op": op_state},
+                  force=True)
 
     def load(self, path: str):
         import orbax.checkpoint as ocp
 
         ckpt = ocp.PyTreeCheckpointer()
-        restored = ckpt.restore(
-            Path(path).absolute(),
-            item={"step": 0, "state": jax.device_get(self.state)},
-        )
+        template = {
+            "step": 0,
+            "state": jax.device_get(self.state),
+            "op": jax.device_get(self.diffusion.op),
+        }
+        restored = ckpt.restore(Path(path).absolute(), item=template)
         self.step = int(restored["step"])
         self.state = replicate(restored["state"], self.mesh)
+        self.diffusion = self.diffusion.replace(op=restored["op"])

@@ -73,6 +73,38 @@ def test_family_b_training_with_noise_endpoint(tmp_path):
     assert tr.step == 1
 
 
+def test_remat_training_step(tmp_path):
+    tr = make_trainer(tmp_path, train_num_steps=1, save_and_sample_every=100,
+                      remat=True)
+    tr.train(log_every=10)
+    assert tr.step == 1
+
+
+def test_checkpoint_includes_operator_state(tmp_path):
+    from colddiff.operators import Snow
+
+    op = Snow.create(image_size=16, timesteps=3, snow_level=1, random_snow=True,
+                     seed=3)
+    d = ColdDiffusion(op=op, image_size=16, channels=3)
+    model = UnetConvNext(dim=8, dim_mults=(1, 2), channels=3)
+    ds = SyntheticDataset(16, 3, length=16)
+    tr = Trainer(d, model, ds, train_batch_size=8, train_num_steps=0,
+                 save_and_sample_every=10**9,
+                 results_folder=str(tmp_path / "r"), num_workers=1)
+    tr.save()
+    # a fresh trainer with different snow state restores the saved fields
+    op2 = Snow.create(image_size=16, timesteps=3, snow_level=1, random_snow=True,
+                      seed=99)
+    d2 = ColdDiffusion(op=op2, image_size=16, channels=3)
+    tr2 = Trainer(d2, model, ds, train_batch_size=8, train_num_steps=0,
+                  save_and_sample_every=10**9,
+                  results_folder=str(tmp_path / "r2"), num_workers=1,
+                  load_path=str(tmp_path / "r" / "model"))
+    np.testing.assert_allclose(
+        np.asarray(tr2.diffusion.op.snow), np.asarray(op.snow)
+    )
+
+
 def test_dataloader_shapes_and_determinism():
     ds = SyntheticDataset(8, 3, length=20, seed=1)
     dl = DataLoader(ds, batch_size=4, num_workers=2, seed=0)
