@@ -58,11 +58,19 @@ def build():
     return d, model, params
 
 
+def _force(out):
+    """Force completion: on the axon backend block_until_ready can return
+    before execution finishes; a scalar host fetch is the reliable barrier."""
+    return float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
+
+
 def time_fn(fn, *args, runs=RUNS):
-    out = jax.block_until_ready(fn(*args))  # compile + warmup
+    out = fn(*args)
+    _force(out)  # compile + warmup
     t0 = time.time()
     for _ in range(runs):
-        out = jax.block_until_ready(fn(*args))
+        out = fn(*args)
+        _force(out)
     return (time.time() - t0) / runs, out
 
 

@@ -71,20 +71,49 @@ class ImageFolderDataset:
         s = self.image_size
         rng = self._rng
         if self.aug in ("aug1", "center"):
+            from .native import crop_flip_normalize
+
             big = int(s * 1.12)
             img = img.resize((big, big), Image.BILINEAR)
             if self.aug == "aug1":
                 x0 = int(rng.integers(0, big - s + 1))
                 y0 = int(rng.integers(0, big - s + 1))
+                flip = rng.random() < 0.5
             else:
                 x0 = y0 = (big - s) // 2
-            img = img.crop((x0, y0, x0 + s, y0 + s))
-            if self.aug == "aug1" and rng.random() < 0.5:
-                img = img.transpose(Image.FLIP_LEFT_RIGHT)
+                flip = False
+            arr = np.asarray(img)
+            if arr.ndim == 2:
+                arr = arr[..., None]
+            # fused native crop+flip+normalize (numpy fallback inside)
+            return crop_flip_normalize(np.ascontiguousarray(arr), y0, x0, s, flip)
         elif self.aug == "center_pad":
             w, h = img.size
             x0, y0 = (w - s) // 2, (h - s) // 2
             img = img.crop((x0, y0, x0 + s, y0 + s))
+        elif self.aug == "random_aug":
+            # SimCLR-style RandomResizedCrop + ColorJitter
+            # (snowification diffusion.py:505-516)
+            w, h = img.size
+            for _ in range(10):
+                area = rng.uniform(0.08, 1.0) * w * h
+                ratio = np.exp(rng.uniform(np.log(3 / 4), np.log(4 / 3)))
+                cw = int(round(np.sqrt(area * ratio)))
+                ch = int(round(np.sqrt(area / ratio)))
+                if cw <= w and ch <= h:
+                    x0 = int(rng.integers(0, w - cw + 1))
+                    y0 = int(rng.integers(0, h - ch + 1))
+                    img = img.crop((x0, y0, x0 + cw, y0 + ch))
+                    break
+            img = img.resize((s, s), Image.BICUBIC)
+            if rng.random() < 0.5:
+                img = img.transpose(Image.FLIP_LEFT_RIGHT)
+            if rng.random() < 0.8:
+                from PIL import ImageEnhance
+
+                for enh in (ImageEnhance.Brightness, ImageEnhance.Contrast,
+                            ImageEnhance.Color):
+                    img = enh(img).enhance(1.0 + rng.uniform(-0.4, 0.4))
         elif self.aug == "cifar":
             arr = np.asarray(img)
             arr = np.pad(arr, ((4, 4), (4, 4)) + ((0, 0),) * (arr.ndim - 2), mode="constant")
@@ -115,16 +144,23 @@ class ArrayDataset:
 
     def __getitem__(self, index: int) -> np.ndarray:
         arr = self.images[index]
-        if arr.dtype == np.uint8:
-            arr = _to_tensor_range(arr)
         if self.aug == "cifar":
-            s = arr.shape[0]
-            p = np.pad(arr, ((4, 4), (4, 4), (0, 0)), mode="constant")
             x0 = int(self._rng.integers(0, 9))
             y0 = int(self._rng.integers(0, 9))
+            flip = self._rng.random() < 0.5
+            if arr.dtype == np.uint8:
+                from .native import pad4_crop_flip_normalize
+
+                return pad4_crop_flip_normalize(
+                    np.ascontiguousarray(arr), y0, x0, flip
+                )
+            s = arr.shape[0]
+            p = np.pad(arr, ((4, 4), (4, 4), (0, 0)), mode="constant")
             arr = p[y0 : y0 + s, x0 : x0 + s]
-            if self._rng.random() < 0.5:
+            if flip:
                 arr = arr[:, ::-1].copy()
+        elif arr.dtype == np.uint8:
+            arr = _to_tensor_range(arr)
         return arr.astype(np.float32)
 
 

@@ -15,6 +15,8 @@ __all__ = [
     "rgb_to_grayscale",
     "rgb2lab",
     "lab2rgb",
+    "rgb2hsv",
+    "hsv2rgb",
     "quantize_uint8",
     "clipped_zoom",
 ]
@@ -87,6 +89,54 @@ def lab2rgb(x: jnp.ndarray, clip: bool = True) -> jnp.ndarray:
     if clip:
         rgb = jnp.clip(rgb, 0.0, 1.0)
     return 2.0 * rgb - 1.0
+
+
+def rgb2hsv(x: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    """NHWC RGB in [0, 1] -> HSV (H in radians [0, 2pi), S, V in [0, 1]).
+
+    Differentiable port matching snowification/diffusion/utils.py:9-55
+    (kornia semantics).
+    """
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    maxc = jnp.max(x, axis=-1)
+    minc = jnp.min(x, axis=-1)
+    v = maxc
+    deltac = maxc - minc
+    s = deltac / (v + eps)
+    dc = jnp.where(deltac == 0, 1.0, deltac)
+    rc = (maxc - r) / dc
+    gc = (maxc - g) / dc
+    bc = (maxc - b) / dc
+    h = jnp.where(
+        maxc == r, bc - gc,
+        jnp.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc),
+    )
+    h = jnp.where(deltac == 0, 0.0, h)
+    h = (h / 6.0) % 1.0 * (2.0 * np.pi)
+    return jnp.stack([h, s, v], axis=-1)
+
+
+def hsv2rgb(x: jnp.ndarray) -> jnp.ndarray:
+    """HSV (H in radians) -> NHWC RGB in [0, 1]
+    (snowification/diffusion/utils.py:58-103)."""
+    h = x[..., 0] / (2.0 * np.pi)
+    s, v = x[..., 1], x[..., 2]
+    hi = jnp.floor(h * 6.0) % 6.0
+    f = h * 6.0 - jnp.floor(h * 6.0)
+    p = v * (1.0 - s)
+    q = v * (1.0 - f * s)
+    t = v * (1.0 - (1.0 - f) * s)
+    hi = hi.astype(jnp.int32)
+    options = [
+        jnp.stack([v, t, p], axis=-1),
+        jnp.stack([q, v, p], axis=-1),
+        jnp.stack([p, v, t], axis=-1),
+        jnp.stack([p, q, v], axis=-1),
+        jnp.stack([t, p, v], axis=-1),
+        jnp.stack([v, p, q], axis=-1),
+    ]
+    cond = hi[..., None]
+    return jnp.select([cond == i for i in range(6)], options)
 
 
 def quantize_uint8(x: jnp.ndarray) -> jnp.ndarray:

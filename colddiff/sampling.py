@@ -25,7 +25,8 @@ import jax.numpy as jnp
 
 from .diffusion import ColdDiffusion, DenoiseFn
 
-__all__ = ["SampleResult", "prepare_start", "sample", "all_sample"]
+__all__ = ["SampleResult", "prepare_start", "sample", "all_sample",
+           "sample_multi_step"]
 
 
 class SampleResult(NamedTuple):
@@ -72,10 +73,15 @@ def _reverse_step(diffusion, denoise_fn, img, t_cur, x_end, op_rng, noise_rng):
         return img + x0_hat, x0_hat
 
     if op.requires_x_end:
-        if routine == "ddim" or x_end is None:
+        if routine == "x0_step_down_spiral_2_rand":
+            # redraw the constant-color endpoint every step
+            # (defading_diffusion_naive.py:430-445)
+            x2 = op.sample_x_end(noise_rng, x0_hat)
+        elif routine == "ddim" or x_end is None:
             x2 = op.x_end_from_xt(x0_hat, img, n_t)
         else:
-            x2 = x_end  # fixed endpoint: the initial noise / constant image
+            # fixed endpoint (x0_step_down / x0_step_down_spiral_2_fix)
+            x2 = x_end
         xt_bar = op.degrade(x0_hat, n_t, x_end=x2, og=x0_hat)
         xtm1_bar = op.degrade(x0_hat, n_tm1, x_end=x2, og=x0_hat)
         return img - xt_bar + xtm1_bar, x0_hat
@@ -140,6 +146,63 @@ def sample(
         x0_traj, xt_traj = ys
         return SampleResult(img, direct, final, x0_traj, xt_traj)
     return SampleResult(img, direct, final)
+
+
+def sample_multi_step(
+    diffusion: ColdDiffusion,
+    denoise_fn: DenoiseFn,
+    img: jnp.ndarray,
+    t_start: jnp.ndarray,
+    t_end: jnp.ndarray,
+    *,
+    x_end: Optional[jnp.ndarray] = None,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Per-sample partial reverse runs: sample i steps from t_start[i] down to
+    t_end[i] (snowification diffusion.py:247-256 sample_multi_step).
+
+    One masked scan of length max(T): samples whose level has reached their
+    t_end keep their state.
+    """
+    steps = diffusion.num_timesteps
+    if rng is None:
+        rng = jax.random.key(0)
+    op_rngs = jax.random.split(jax.random.fold_in(rng, 1), steps)
+    noise_rngs = jax.random.split(jax.random.fold_in(rng, 2), steps)
+    t_start = jnp.asarray(t_start)
+    t_end = jnp.asarray(t_end)
+
+    def body(carry, inputs):
+        cur, level = carry
+        k, op_rng, noise_rng = inputs
+        del k
+        active = level > t_end
+        b = cur.shape[0]
+        op = diffusion.op
+        step = jnp.maximum(level - 1, 0).astype(jnp.int32)
+        x0_hat = denoise_fn(cur, step)
+        n_t = jnp.maximum(level, 1).astype(jnp.int32)
+        if op.requires_x_end:
+            x2 = x_end if x_end is not None else op.x_end_from_xt(x0_hat, cur, n_t)
+            xt_bar = op.degrade(x0_hat, n_t, x_end=x2, og=x0_hat)
+            xtm1_bar = op.degrade(x0_hat, n_t - 1, x_end=x2, og=x0_hat)
+            new = cur - xt_bar + xtm1_bar
+        elif diffusion.sampling_routine == "default":
+            new = op.degrade_sampling(x0_hat, n_t - 1, og=x0_hat, rng=op_rng)
+        else:
+            xt_bar = op.degrade(x0_hat, n_t, og=x0_hat, rng=op_rng)
+            xtm1_bar = op.degrade(x0_hat, n_t - 1, og=x0_hat, rng=op_rng)
+            new = cur - xt_bar + xtm1_bar
+        mask = active.reshape(-1, *([1] * (cur.ndim - 1)))
+        cur = jnp.where(mask, new, cur)
+        level = jnp.where(active, level - 1, level)
+        return (cur, level), None
+
+    ks = jnp.arange(steps)
+    (out, _), _ = jax.lax.scan(
+        body, (img, t_start), (ks, op_rngs, noise_rngs)
+    )
+    return out
 
 
 def all_sample(

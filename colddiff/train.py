@@ -70,6 +70,7 @@ class Trainer:
         profile_steps: tuple = (10, 20),
         debug_nans: bool = False,
         remat: bool = False,
+        auto_resume: bool = False,
     ):
         from .data.datasets import DataLoader
 
@@ -128,6 +129,9 @@ class Trainer:
         )
         self.state = replicate(self.state, self.mesh)
         self.step = 0
+        if load_path is None and auto_resume and (self.results_folder / "model").exists():
+            # elastic recovery: resume from the latest checkpoint in place
+            load_path = str(self.results_folder / "model")
         if load_path is not None:
             self.load(load_path)
 

@@ -1,0 +1,84 @@
+"""HSV round trips, sample_multi_step, random_aug, auto-resume."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from colddiff.ops.image import hsv2rgb, lab2rgb, rgb2hsv, rgb2lab
+
+
+def test_hsv_roundtrip(rng):
+    x = jnp.asarray(rng.random((2, 8, 8, 3)), dtype=jnp.float32)
+    back = hsv2rgb(rgb2hsv(x))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-4)
+
+
+def test_lab_roundtrip(rng):
+    x = jnp.asarray(rng.random((2, 8, 8, 3)) * 1.6 - 0.8, dtype=jnp.float32)
+    back = lab2rgb(rgb2lab(x))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-3)
+
+
+def test_sample_multi_step_partial_runs(rng):
+    from colddiff.diffusion import ColdDiffusion
+    from colddiff.operators import get_operator
+    from colddiff.sampling import prepare_start, sample, sample_multi_step
+
+    op = get_operator("blur", image_size=16, timesteps=5, blur_routine="Constant",
+                      kernel_size=5, kernel_std=1.5)
+    d = ColdDiffusion(op=op, image_size=16, channels=3,
+                      sampling_routine="x0_step_down")
+    x = jnp.asarray(rng.standard_normal((3, 16, 16, 3)), dtype=jnp.float32)
+    oracle = lambda xt, tt: x
+    start = prepare_start(d, x)
+    # full run through the masked sampler == standard sampler
+    full = sample_multi_step(d, oracle, start, jnp.asarray([5, 5, 5]),
+                             jnp.asarray([0, 0, 0]))
+    np.testing.assert_allclose(np.asarray(full), np.asarray(x), atol=1e-4)
+    # zero steps: untouched
+    frozen = sample_multi_step(d, oracle, start, jnp.asarray([5, 5, 5]),
+                               jnp.asarray([5, 5, 5]))
+    np.testing.assert_allclose(np.asarray(frozen), np.asarray(start), atol=1e-6)
+    # partial: stop at level 2 == degraded oracle at level 2 for the oracle model
+    part = sample_multi_step(d, oracle, start, jnp.asarray([5, 5, 5]),
+                             jnp.asarray([2, 2, 2]))
+    want = d.op.degrade(x, jnp.asarray([2, 2, 2]))
+    np.testing.assert_allclose(np.asarray(part), np.asarray(want), atol=1e-4)
+
+
+def test_spiral2_rand_sampler_runs(rng):
+    from colddiff.diffusion import ColdDiffusion
+    from colddiff.operators import get_operator
+    from colddiff.sampling import sample
+
+    op = get_operator("fade_naive", image_size=8, timesteps=4,
+                      fade_routine="Spiral_2")
+    d = ColdDiffusion(op=op, image_size=8, channels=3,
+                      sampling_routine="x0_step_down_spiral_2_rand")
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 3)), dtype=jnp.float32)
+    res = sample(d, lambda xt, t: x, x, rng=jax.random.key(0))
+    assert np.isfinite(np.asarray(res.img)).all()
+
+
+def test_random_aug_dataset(tmp_path, rng):
+    from PIL import Image
+
+    from colddiff.data.datasets import ImageFolderDataset
+
+    for i in range(3):
+        arr = (rng.random((40, 40, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(tmp_path / f"{i}.png")
+    ds = ImageFolderDataset(str(tmp_path), 16, aug="random_aug")
+    x = ds[0]
+    assert x.shape == (16, 16, 3)
+    assert -1.0 <= x.min() and x.max() <= 1.0
+
+
+def test_trainer_auto_resume(tmp_path):
+    from tests.test_train import make_trainer
+
+    tr = make_trainer(tmp_path, train_num_steps=2, save_and_sample_every=100)
+    tr.train(log_every=10)
+    tr2 = make_trainer(tmp_path, train_num_steps=2, save_and_sample_every=100,
+                       auto_resume=True)
+    assert tr2.step == 2
