@@ -267,8 +267,11 @@ def run_test(args):
         save_image_grid(np.asarray(res.img),
                         harness.results_folder / "gmm_samples.png")
     elif tt == "test_paper_showing_diffusion_images":
-        batch = np.stack([ds[i] for i in range(4)])
-        harness.paper_trajectory_strip(batch)
+        harness.paper_trajectory_strip(first_batch(4))
+    elif tt == "test_paper_showing_diffusion_images_cover_page":
+        harness.paper_cover_page(first_batch(6))
+    elif tt == "forward_and_backward":
+        harness.forward_and_backward(first_batch(4))
     else:
         raise SystemExit(f"unknown --test_type {tt}")
 

