@@ -61,6 +61,7 @@ class Trainer:
         step_start_ema: int = 2000,
         update_ema_every: int = 10,
         save_and_sample_every: int = 1000,
+        save_with_milestone_every: int = 0,  # 0 = only the rolling 'model'
         results_folder: str = "./results",
         load_path: Optional[str] = None,
         bf16: bool = False,
@@ -83,6 +84,7 @@ class Trainer:
         self.step_start_ema = step_start_ema
         self.update_ema_every = update_ema_every
         self.save_and_sample_every = save_and_sample_every
+        self.save_with_milestone_every = save_with_milestone_every
         self.results_folder = Path(results_folder)
         create_folder(self.results_folder)
         self.bf16 = bf16
@@ -136,7 +138,7 @@ class Trainer:
             self.load(load_path)
 
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
-        self._sample_fn = jax.jit(self._sample_impl, static_argnums=(2,))
+        self._sample_fn = jax.jit(self._sample_impl, static_argnums=(3,))
 
     # ------------------------------------------------------------------ #
 
@@ -213,8 +215,7 @@ class Trainer:
             loss,
         )
 
-    def _sample_impl(self, ema_params, og_img, t: Optional[int], rng):
-        d = self.diffusion
+    def _sample_impl(self, ema_params, d, og_img, t: Optional[int], rng):
         end_rng, samp_rng = jax.random.split(rng)
         x_end = d.op.sample_x_end(end_rng, og_img)
         start = prepare_start(d, og_img, t, x_end=x_end)
@@ -262,6 +263,11 @@ class Trainer:
             if self.step % self.save_and_sample_every == 0:
                 self.snapshot(self.step // self.save_and_sample_every)
                 self.save()
+                # retained step snapshots (snowification saves timestamped
+                # checkpoints every 50k, diffusion.py:662-671)
+                if (self.save_with_milestone_every
+                        and self.step % self.save_with_milestone_every == 0):
+                    self.save(self.results_folder / f"model_{self.step}")
         self.save()
 
     def _maybe_reset_op(self):
@@ -283,7 +289,8 @@ class Trainer:
         )[0][: batch_size or min(self.batch_size, 36)]
         og = jnp.asarray(og)
         res = self._sample_fn(
-            self.state.ema_params, og, None, jax.random.key(self.step)
+            self.state.ema_params, self.diffusion, og, None,
+            jax.random.key(self.step),
         )
         for name, imgs in [
             ("og", og), ("xt", res.xt),
