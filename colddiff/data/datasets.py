@@ -243,6 +243,8 @@ class DataLoader:
         seed: int = 0,
         drop_last: bool = True,
         prefetch: int = 4,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -250,16 +252,23 @@ class DataLoader:
         self.num_workers = max(1, num_workers)
         self.drop_last = drop_last
         self.prefetch = prefetch
+        # multi-host input sharding: each process reads a disjoint stripe
+        # (pass jax.process_index()/process_count() under
+        #  jax.distributed.initialize; SURVEY.md section 2.7)
+        self.process_index = process_index
+        self.process_count = process_count
         self._epoch_rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = len(self.dataset) // self.process_count
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _batches(self) -> list[np.ndarray]:
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             self._epoch_rng.shuffle(idx)
+        if self.process_count > 1:
+            idx = idx[self.process_index :: self.process_count]
         stop = (len(idx) // self.batch_size) * self.batch_size if self.drop_last else len(idx)
         return [idx[i : i + self.batch_size] for i in range(0, stop, self.batch_size)]
 

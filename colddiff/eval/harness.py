@@ -267,6 +267,34 @@ class EvalHarness:
 
     # ------------------------------------------------------------------ #
 
+    def gmm_blur_samples(
+        self, dataset, clusters: int = 10, num: int = 64, sample_at: int = None,
+        gmm_res: int = 16, noise_level: float = 0.0, rng=None, max_fit: int = 2000,
+    ):
+        """Blind generation via GMM over *degraded low-res images* at level
+        ``sample_at`` (sample_as_a_blur_torch_gmm, deblur :1514-1564):
+        degrade train images to sample_at, downsample, flatten, fit GMM,
+        sample, upsample, reverse-sample from sample_at."""
+        rng = rng if rng is not None else jax.random.key(0)
+        T = self.d.num_timesteps
+        sample_at = sample_at if sample_at is not None else T
+        s = self.d.image_size
+        n_fit = min(len(dataset), max_fit)
+        imgs = jnp.asarray(np.stack([dataset[i] for i in range(n_fit)]))
+        lvl = jnp.full((n_fit,), sample_at, dtype=jnp.int32)
+        degraded = self.d.op.degrade(imgs, lvl)
+        c = degraded.shape[-1]
+        low = jax.image.resize(
+            degraded, (n_fit, gmm_res, gmm_res, c), method="bilinear"
+        ).reshape(n_fit, -1)
+        f_rng, s_rng, n_rng, samp_rng = jax.random.split(rng, 4)
+        gmm = fit_gmm(low, clusters, f_rng)
+        draws = sample_gmm(gmm, s_rng, num).reshape(num, gmm_res, gmm_res, c)
+        start = jax.image.resize(draws, (num, s, s, c), method="bilinear")
+        if noise_level > 0:
+            start = start + noise_level * jax.random.normal(n_rng, start.shape)
+        return sample(self.d, self.denoise, start, sample_at, rng=samp_rng)
+
     def forward_and_backward(self, batch, rng=None, prefix: str = "fb"):
         """Forward degradation frames + reverse frames for figure strips
         (denoising_diffusion_pytorch.py:437-478; deblur :691-861)."""

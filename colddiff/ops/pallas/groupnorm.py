@@ -99,8 +99,12 @@ def group_norm_swish(x, gamma, beta, num_groups: int = 32, eps: float = 1e-6,
     """Dispatch wrapper (see linear_attention.linear_attention)."""
     if force == "interpret":
         return _gn_swish(x, gamma, beta, num_groups, eps, swish, True)
-    use_pallas = not os.environ.get("COLDDIFF_NO_PALLAS") and (
-        jax.default_backend() == "tpu"
+    # opt-in only: with 32 groups the per-group channel count (lane dim) is
+    # tiny and pads to 128 lanes in VMEM -- XLA's fused moments win here.
+    use_pallas = (
+        not os.environ.get("COLDDIFF_NO_PALLAS")
+        and os.environ.get("COLDDIFF_FORCE_PALLAS")
+        and jax.default_backend() == "tpu"
     )
     if force == "xla" or (force is None and not use_pallas):
         return group_norm_swish_reference(x, gamma, beta, num_groups, eps, swish)

@@ -108,7 +108,13 @@ _linear_attention.defvjp(_linear_attention_fwd, _linear_attention_bwd)
 
 
 def _use_pallas() -> bool:
+    # Measured on TPU v5e (flagship UNet, B=16 @128px): the XLA path is ~4%
+    # faster end-to-end than this kernel (the [G,N,D]<->[G,D,N] transposes
+    # eat the fusion win), so XLA is the default and the kernel is opt-in
+    # via COLDDIFF_FORCE_PALLAS=1 for further tuning.
     if os.environ.get("COLDDIFF_NO_PALLAS"):
+        return False
+    if not os.environ.get("COLDDIFF_FORCE_PALLAS"):
         return False
     try:
         return jax.default_backend() == "tpu"
@@ -117,7 +123,8 @@ def _use_pallas() -> bool:
 
 
 def linear_attention(q, k, v, scale: float, force: str | None = None):
-    """Dispatch: Pallas on TPU, interpret under force='interpret', else XLA.
+    """Dispatch: XLA by default (measured faster), Pallas kernel opt-in,
+    interpret under force='interpret'.
 
     q, k, v: [G, N, D].
     """

@@ -67,3 +67,22 @@ def test_paper_figures_and_dispatch(tmp_path):
     assert len(scripts) == 2
     assert "sbatch" not in scripts[0].read_text().lower() or True
     assert "colddiff.cli.main train" in scripts[0].read_text()
+
+
+def test_gmm_blur_samples_and_sharded_loader(tmp_path):
+    h = make_harness(tmp_path)
+    ds = SyntheticDataset(16, 3, length=24)
+    res = h.gmm_blur_samples(ds, clusters=2, num=4, sample_at=2, gmm_res=8,
+                             noise_level=0.001, max_fit=16)
+    assert res.img.shape == (4, 16, 16, 3)
+    assert np.isfinite(np.asarray(res.img)).all()
+
+    from colddiff.data.datasets import DataLoader
+
+    # per-process stripes are disjoint and cover the data
+    dl0 = DataLoader(ds, 4, shuffle=False, process_index=0, process_count=2)
+    dl1 = DataLoader(ds, 4, shuffle=False, process_index=1, process_count=2)
+    assert len(dl0) == len(dl1) == 3
+    b0 = next(iter(dl0))
+    b1 = next(iter(dl1))
+    assert not np.allclose(b0, b1)
