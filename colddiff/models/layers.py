@@ -82,10 +82,39 @@ class FusedGroupNormSwish(nn.Module):
         return group_norm_swish(x, gamma, beta, self.num_groups, self.eps, self.swish)
 
 
+class _DWConvParams(nn.Module):
+    """Parameter container with nn.Conv-compatible tree (ds_conv/kernel,bias)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(), (7, 7, 1, self.features)
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
+class _LNParams(nn.Module):
+    """Parameter container matching ChannelLayerNorm (norm/scale,bias)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        g = self.param("scale", nn.initializers.ones, (self.features,))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return g, b
+
+
 class ConvNextBlock(nn.Module):
     """ConvNeXt block: depthwise 7x7 + (norm -> 3x3 -> GELU -> 3x3) + residual.
 
-    Parity: deblurring_diffusion_pytorch.py:135-165.
+    Parity: deblurring_diffusion_pytorch.py:135-165.  The block front
+    (dw conv + time bias + LayerNorm) runs as one fused Pallas pass on TPU
+    (colddiff/ops/pallas/convnext_front.py); the parameter tree is identical
+    either way, so checkpoints are interchangeable.
     """
 
     dim_out: int
@@ -95,13 +124,20 @@ class ConvNextBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, t: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        from ..ops.pallas.convnext_front import convnext_front
+
         dim = x.shape[-1]
-        h = nn.Conv(dim, (7, 7), padding=3, feature_group_count=dim, name="ds_conv")(x)
+        cond = None
         if self.time_emb and t is not None:
             cond = nn.Dense(dim, name="mlp_dense")(gelu(t))
-            h = h + cond[:, None, None, :]
+        dw_k, dw_b = _DWConvParams(dim, name="ds_conv")()
         if self.norm:
-            h = ChannelLayerNorm(name="norm")(h)
+            g, b = _LNParams(dim, name="norm")()
+        else:
+            g = b = jnp.ones((dim,), x.dtype)  # unused when norm=False
+        h = convnext_front(
+            x, dw_k[:, :, 0, :], dw_b, cond, g, b, norm=self.norm
+        )
         h = nn.Conv(self.dim_out * self.mult, (3, 3), padding=1, name="net_conv1")(h)
         h = gelu(h)
         h = nn.Conv(self.dim_out, (3, 3), padding=1, name="net_conv2")(h)
