@@ -33,6 +33,10 @@ def convnext_front_reference(x, w, b, cond, gamma, beta, *, norm=True,
     """Plain-XLA reference. x: [B,H,W,C]; w: [7,7,C]; b, gamma, beta: [C];
     cond: [B,C] or None."""
     c = x.shape[-1]
+    # flax-Conv promotion semantics: mixed input/param dtypes compute in the
+    # promoted dtype (bf16 activations + fp32 params -> fp32)
+    dt = jnp.promote_types(x.dtype, w.dtype)
+    x, w = x.astype(dt), w.astype(dt)
     h = jax.lax.conv_general_dilated(
         x, w[:, :, None, :], (1, 1), [(3, 3), (3, 3)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,

@@ -53,12 +53,14 @@ def prepare_start(
     return diffusion.op.degrade_sampling(img, n, x_end=x_end, og=img, rng=op_rng)
 
 
-def _reverse_step(diffusion, denoise_fn, img, t_cur, x_end, op_rng, noise_rng):
+def _reverse_step(diffusion, denoise_fn, img, t_cur, x_end, op_rng, noise_rng,
+                  x0_hat=None):
     """One reverse step at level t_cur (number of applied steps, >= 1)."""
     b = img.shape[0]
     op = diffusion.op
     step = jnp.full((b,), t_cur - 1, dtype=jnp.int32)  # model's t index
-    x0_hat = denoise_fn(img, step)
+    if x0_hat is None:
+        x0_hat = denoise_fn(img, step)
     n_t = jnp.full((b,), t_cur, dtype=jnp.int32)
     n_tm1 = n_t - 1
 
@@ -113,6 +115,7 @@ def sample(
     x_end: Optional[jnp.ndarray] = None,
     rng: Optional[jax.Array] = None,
     trajectory: bool = False,
+    refresh_every: int = 1,
 ) -> SampleResult:
     """Run the full reverse loop from state ``img`` at level ``t`` (static).
 
@@ -120,6 +123,11 @@ def sample(
     conditional eval path).  For Family-B generation, ``x_end`` is the fixed
     endpoint (the start noise / constant image) used by 'x0_step_down'; leave
     None (or routine 'ddim') to estimate it per step.
+
+    ``refresh_every > 1`` is an opt-in acceleration beyond the reference:
+    the x0 prediction is refreshed only every K steps and reused in between
+    (cold-diffusion predictions drift slowly across adjacent levels), cutting
+    UNet calls -- and sampling time -- by ~K at some quality cost.
     """
     steps = diffusion.num_timesteps if t is None else int(t)
     if rng is None:
@@ -128,19 +136,31 @@ def sample(
     noise_rngs = jax.random.split(jax.random.fold_in(rng, 2), steps)
 
     def body(carry, inputs):
-        cur, direct = carry
+        cur, direct, cache = carry
         k, op_rng, noise_rng = inputs
         t_cur = steps - k
+        if refresh_every > 1:
+            step_idx = jnp.full((cur.shape[0],), t_cur - 1, dtype=jnp.int32)
+            x0_hat = jax.lax.cond(
+                k % refresh_every == 0,
+                lambda: denoise_fn(cur, step_idx),
+                lambda: cache,
+            )
+        else:
+            x0_hat = None
         new_img, x0_hat = _reverse_step(
-            diffusion, denoise_fn, cur, t_cur, x_end, op_rng, noise_rng
+            diffusion, denoise_fn, cur, t_cur, x_end, op_rng, noise_rng,
+            x0_hat=x0_hat,
         )
         direct = jnp.where(k == 0, x0_hat, direct)
         ys = (x0_hat, cur) if trajectory else None
-        return (new_img, direct), ys
+        return (new_img, direct, x0_hat), ys
 
     ks = jnp.arange(steps)
-    (final, direct), ys = jax.lax.scan(
-        body, (img, jnp.zeros_like(img)), (ks, op_rngs, noise_rngs)
+    (final, direct, _), ys = jax.lax.scan(
+        body,
+        (img, jnp.zeros_like(img), jnp.zeros_like(img)),
+        (ks, op_rngs, noise_rngs),
     )
     if trajectory:
         x0_traj, xt_traj = ys

@@ -1,0 +1,82 @@
+"""One-step training through the CLI for every degradation operator.
+
+The cheapest full-integration check: argparse -> operator -> diffusion ->
+trainer -> checkpoint, per degradation, on the virtual CPU mesh.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+CASES = {
+    "blur": ["--blur_size", "3", "--blur_std", "1.0", "--blur_routine", "Constant"],
+    "noise": [],
+    "decolor": ["--decolor_routine", "Linear", "--decolor_total_remove"],
+    "fade": ["--fade_routine", "Random_Incremental", "--kernel_std", "0.2",
+             "--initial_mask", "2"],
+    "fade_naive": ["--fade_routine", "Spiral"],
+    "fade_generation": ["--kernel_std", "0.2", "--initial_mask", "2"],
+    "resolution": ["--resolution_routine", "Incremental_factor_2"],
+    "snow": ["--snow_level", "2", "--random_snow"],
+}
+
+
+@pytest.mark.parametrize("degradation", sorted(CASES))
+def test_cli_one_step_train(tmp_path, degradation):
+    cmd = [
+        sys.executable, "-m", "colddiff.cli.main", "train",
+        "--degradation", degradation, "--dataset", "synthetic",
+        "--image_size", "16", "--time_steps", "3",
+        "--model", "UnetConvNext", "--dim", "8",
+        "--batch_size", "8", "--train_steps", "1", "--grad_accum", "1",
+        "--save_and_sample_every", "100",
+        "--save_folder", str(tmp_path / "out"),
+        *CASES[degradation],
+    ]
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    r = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                       cwd="/root/repo", timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (tmp_path / "out" / "model").exists()
+
+
+def test_cli_mix_two_datasets(tmp_path):
+    import numpy as np
+    from PIL import Image
+
+    folder2 = tmp_path / "second"
+    folder2.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(10):
+        arr = (rng.random((18, 18, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(folder2 / f"{i}.png")
+
+    cmd = [
+        sys.executable, "-m", "colddiff.cli.main", "train",
+        "--degradation", "mix", "--dataset", "synthetic",
+        "--data_path_2", str(folder2),
+        "--image_size", "16", "--time_steps", "3",
+        "--model", "UnetConvNext", "--dim", "8",
+        "--batch_size", "8", "--train_steps", "1", "--grad_accum", "1",
+        "--save_and_sample_every", "100",
+        "--save_folder", str(tmp_path / "out"),
+    ]
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    r = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                       cwd="/root/repo", timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+
+def test_bf16_training_decreases_loss(tmp_path):
+    from tests.test_train import make_trainer
+
+    tr = make_trainer(tmp_path, train_num_steps=1, save_and_sample_every=100,
+                      bf16=True)
+    tr.train(log_every=10)
+    assert tr.step == 1
