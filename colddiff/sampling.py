@@ -73,6 +73,10 @@ def _reverse_step(diffusion, denoise_fn, img, t_cur, x_end, op_rng, noise_rng,
     if train_routine == "Step_Gradient":
         # model predicts x_{t-1} - x_t (snowification diffusion.py:428-429)
         return img + x0_hat, x0_hat
+    if train_routine == "Gradient_norm":
+        # model predicts the degradation direction; step against it
+        # (defading_diffusion_naive.py:451-456)
+        return img - x0_hat, img - x0_hat
 
     if op.requires_x_end:
         if routine == "x0_step_down_spiral_2_rand":

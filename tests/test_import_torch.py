@@ -155,3 +155,90 @@ def test_import_unet_convnext_structural():
     y = model.apply(jax.tree_util.tree_map(jnp.asarray, params), x,
                     jnp.zeros((1,), jnp.int32))
     assert y.shape == x.shape
+
+
+def _synth_resnet_sd(ch, ch_mult, num_res_blocks, attn_res, resolution, in_ch=3):
+    rng = np.random.default_rng(1)
+    sd = {}
+
+    def conv(name, o, i, k):
+        sd[f"{name}.weight"] = rng.standard_normal((o, i, k, k)).astype(np.float32)
+        sd[f"{name}.bias"] = rng.standard_normal((o,)).astype(np.float32)
+
+    def dense(name, o, i):
+        sd[f"{name}.weight"] = rng.standard_normal((o, i)).astype(np.float32)
+        sd[f"{name}.bias"] = rng.standard_normal((o,)).astype(np.float32)
+
+    def norm(name, c):
+        sd[f"{name}.weight"] = np.ones((c,), np.float32)
+        sd[f"{name}.bias"] = np.zeros((c,), np.float32)
+
+    def block(name, cin, cout, temb):
+        norm(f"{name}.norm1", cin)
+        conv(f"{name}.conv1", cout, cin, 3)
+        dense(f"{name}.temb_proj", cout, temb)
+        norm(f"{name}.norm2", cout)
+        conv(f"{name}.conv2", cout, cout, 3)
+        if cin != cout:
+            conv(f"{name}.nin_shortcut", cout, cin, 1)
+
+    def attn(name, c):
+        norm(f"{name}.norm", c)
+        for n in ("q", "k", "v", "proj_out"):
+            conv(f"{name}.{n}", c, c, 1)
+
+    temb = ch * 4
+    dense("temb.dense.0", temb, ch)
+    dense("temb.dense.1", temb, temb)
+    conv("conv_in", ch, in_ch, 3)
+    num_res = len(ch_mult)
+    in_mult = (1,) + tuple(ch_mult)
+    curr = resolution
+    for i in range(num_res):
+        cin = ch * in_mult[i]
+        cout = ch * ch_mult[i]
+        for j in range(num_res_blocks):
+            block(f"down.{i}.block.{j}", cin, cout, temb)
+            cin = cout
+            if curr in attn_res:
+                attn(f"down.{i}.attn.{j}", cout)
+        if i != num_res - 1:
+            conv(f"down.{i}.downsample.conv", cin, cin, 3)
+            curr //= 2
+    block("mid.block_1", cin, cin, temb)
+    attn("mid.attn_1", cin)
+    block("mid.block_2", cin, cin, temb)
+    for i in reversed(range(num_res)):
+        cout = ch * ch_mult[i]
+        for j in range(num_res_blocks + 1):
+            skip = ch * ch_mult[i] if j < num_res_blocks else ch * in_mult[i]
+            block(f"up.{i}.block.{j}", cin + skip, cout, temb)
+            cin = cout
+            if curr in attn_res:
+                attn(f"up.{i}.attn.{j}", cout)
+        if i != 0:
+            conv(f"up.{i}.upsample.conv", cin, cin, 3)
+            curr *= 2
+    norm("norm_out", cin)
+    conv("conv_out", in_ch, cin, 3)
+    return sd
+
+
+def test_import_unet_resnet_structural():
+    ch, mult, nrb, attn_res, res = 32, (1, 2), 1, (8,), 16
+    sd = _synth_resnet_sd(ch, mult, nrb, attn_res, res)
+    params = import_unet_resnet(sd, ch, mult, nrb, attn_res, res)
+    model = UnetResNet(resolution=res, ch=ch, ch_mult=mult, num_res_blocks=nrb,
+                       attn_resolutions=attn_res, out_ch=3)
+    x = jnp.zeros((1, res, res, 3))
+    ref = model.init(jax.random.key(0), x, jnp.zeros((1,), jnp.int32))
+    ref_shapes = jax.tree_util.tree_map(lambda a: a.shape, ref)
+    got_shapes = jax.tree_util.tree_map(lambda a: np.asarray(a).shape, params)
+    assert jax.tree_util.tree_structure(ref_shapes) == jax.tree_util.tree_structure(
+        got_shapes
+    )
+    jax.tree_util.tree_map(lambda a, b: (a == b) or (_ for _ in ()).throw(
+        AssertionError(f"{a} != {b}")), ref_shapes, got_shapes)
+    y = model.apply(jax.tree_util.tree_map(jnp.asarray, params), x,
+                    jnp.zeros((1,), jnp.int32))
+    assert y.shape == x.shape

@@ -111,3 +111,18 @@ def test_refresh_every_sampler(rng):
     # step; just check the result stays finite and matches the oracle run
     res2 = sample(d, counting, start, refresh_every=2)
     assert np.isfinite(np.asarray(res2.img)).all()
+
+
+def test_gradient_norm_sampling_branch(rng):
+    from colddiff.diffusion import ColdDiffusion
+    from colddiff.operators import get_operator
+    from colddiff.sampling import sample
+
+    op = get_operator("fade_naive", image_size=8, timesteps=3,
+                      fade_routine="Incremental")
+    d = ColdDiffusion(op=op, image_size=8, channels=3,
+                      train_routine="Gradient_norm")
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 3)), dtype=jnp.float32)
+    # model predicting zero gradient leaves the image unchanged
+    res = sample(d, lambda xt, tt: jnp.zeros_like(xt), x)
+    np.testing.assert_allclose(np.asarray(res.img), np.asarray(x), atol=1e-6)
