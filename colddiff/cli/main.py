@@ -18,7 +18,6 @@ Flag names match the reference (--time_steps, --blur_routine,
 from __future__ import annotations
 
 import argparse
-import sys
 
 import numpy as np
 

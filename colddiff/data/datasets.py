@@ -20,7 +20,7 @@ from __future__ import annotations
 import gzip
 import pickle
 from pathlib import Path
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 

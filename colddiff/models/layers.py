@@ -9,7 +9,7 @@ Functional parity targets (architecture, not weights):
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

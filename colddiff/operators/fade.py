@@ -23,7 +23,7 @@ import numpy as np
 from flax import struct
 
 from ..schedules import fade_routine_sigmas, gaussian_kernel_2d
-from .base import Degradation, bcast
+from .base import Degradation
 
 __all__ = ["Fade", "fade_mask"]
 

@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 import numpy as np
-from flax import struct
 
 from ..ops import linop
 from ..schedules import gaussian_kernel_1d, resolution_routine_sizes

@@ -19,7 +19,7 @@ TPU-native differences:
 from __future__ import annotations
 
 import time
-from functools import partial
+
 from pathlib import Path
 from typing import Any, Optional
 
