@@ -139,11 +139,13 @@ def sample(
     op_rngs = jax.random.split(jax.random.fold_in(rng, 1), steps)
     noise_rngs = jax.random.split(jax.random.fold_in(rng, 2), steps)
 
+    cached = refresh_every > 1
+
     def body(carry, inputs):
-        cur, direct, cache = carry
+        cur, direct, cache = (carry if cached else (*carry, None))
         k, op_rng, noise_rng = inputs
         t_cur = steps - k
-        if refresh_every > 1:
+        if cached:
             step_idx = jnp.full((cur.shape[0],), t_cur - 1, dtype=jnp.int32)
             x0_hat = jax.lax.cond(
                 k % refresh_every == 0,
@@ -158,14 +160,15 @@ def sample(
         )
         direct = jnp.where(k == 0, x0_hat, direct)
         ys = (x0_hat, cur) if trajectory else None
-        return (new_img, direct, x0_hat), ys
+        new_carry = (new_img, direct, x0_hat) if cached else (new_img, direct)
+        return new_carry, ys
 
     ks = jnp.arange(steps)
-    (final, direct, _), ys = jax.lax.scan(
-        body,
-        (img, jnp.zeros_like(img), jnp.zeros_like(img)),
-        (ks, op_rngs, noise_rngs),
-    )
+    init = (img, jnp.zeros_like(img))
+    if cached:
+        init = (*init, jnp.zeros_like(img))
+    carry_out, ys = jax.lax.scan(body, init, (ks, op_rngs, noise_rngs))
+    final, direct = carry_out[0], carry_out[1]
     if trajectory:
         x0_traj, xt_traj = ys
         return SampleResult(img, direct, final, x0_traj, xt_traj)
