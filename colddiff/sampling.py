@@ -93,7 +93,9 @@ def _reverse_step(diffusion, denoise_fn, img, t_cur, x_end, op_rng, noise_rng,
         return img - xt_bar + xtm1_bar, x0_hat
 
     if routine == "default":
-        return op.degrade_sampling(x0_hat, n_tm1, og=x0_hat, rng=op_rng), x0_hat
+        # no rng: sampling reuses baked operator state (fade crops are
+        # drawn once per run, defading_diffusion_gaussian.py:357-367)
+        return op.degrade_sampling(x0_hat, n_tm1, og=x0_hat), x0_hat
 
     if routine == "x0_step_down":
         base = x0_hat
@@ -103,8 +105,8 @@ def _reverse_step(diffusion, denoise_fn, img, t_cur, x_end, op_rng, noise_rng,
             base = x0_hat + diffusion.recon_noise_std * jax.random.normal(
                 noise_rng, x0_hat.shape
             )
-        xt_bar = op.degrade(base, n_t, og=x0_hat, rng=op_rng)
-        xtm1_bar = op.degrade(base, n_tm1, og=x0_hat, rng=op_rng)
+        xt_bar = op.degrade(base, n_t, og=x0_hat)
+        xtm1_bar = op.degrade(base, n_tm1, og=x0_hat)
         return img - xt_bar + xtm1_bar, x0_hat
 
     raise NotImplementedError(routine)
@@ -215,10 +217,10 @@ def sample_multi_step(
             xtm1_bar = op.degrade(x0_hat, n_t - 1, x_end=x2, og=x0_hat)
             new = cur - xt_bar + xtm1_bar
         elif diffusion.sampling_routine == "default":
-            new = op.degrade_sampling(x0_hat, n_t - 1, og=x0_hat, rng=op_rng)
+            new = op.degrade_sampling(x0_hat, n_t - 1, og=x0_hat)
         else:
-            xt_bar = op.degrade(x0_hat, n_t, og=x0_hat, rng=op_rng)
-            xtm1_bar = op.degrade(x0_hat, n_t - 1, og=x0_hat, rng=op_rng)
+            xt_bar = op.degrade(x0_hat, n_t, og=x0_hat)
+            xtm1_bar = op.degrade(x0_hat, n_t - 1, og=x0_hat)
             new = cur - xt_bar + xtm1_bar
         mask = active.reshape(-1, *([1] * (cur.ndim - 1)))
         cur = jnp.where(mask, new, cur)
