@@ -20,3 +20,6 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+from .diffusion import ColdDiffusion  # noqa: E402,F401
+from .sampling import all_sample, prepare_start, sample, sample_multi_step  # noqa: E402,F401

@@ -259,8 +259,11 @@ class EvalHarness:
         img = jnp.broadcast_to(
             draws[:, None, None, :], (num, s, s, draws.shape[-1])
         )
+        # gen_sample preamble (deblur :465-482): degrade the start image
+        # through the chain (identity for constant images under normalized
+        # blur, incl. the discrete collapse), then add symmetry-breaking noise
+        img = prepare_start(self.d, img)
         if noise_level > 0:
-            # broken-symmetry noise (deblur :550-551)
             img = img + noise_level * jax.random.normal(n_rng, img.shape)
         res = sample(self.d, self.denoise, img, rng=samp_rng)
         return res
@@ -291,6 +294,9 @@ class EvalHarness:
         gmm = fit_gmm(low, clusters, f_rng)
         draws = sample_gmm(gmm, s_rng, num).reshape(num, gmm_res, gmm_res, c)
         start = jax.image.resize(draws, (num, s, s, c), method="bilinear")
+        # gen_sample re-degrades the GMM draw through the chain before the
+        # reverse loop (deblur :465-482)
+        start = prepare_start(self.d, start, sample_at)
         if noise_level > 0:
             start = start + noise_level * jax.random.normal(n_rng, start.shape)
         return sample(self.d, self.denoise, start, sample_at, rng=samp_rng)
