@@ -27,7 +27,8 @@ def build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="command", required=True)
 
     def common(sp):
-        sp.add_argument("--degradation", default="blur",
+        sp.add_argument("--degradation", "--forward_process_type",
+                        dest="degradation", default="blur",
                         choices=["blur", "noise", "mix", "decolor", "fade",
                                  "fade_naive", "fade_generation", "resolution",
                                  "snow"])
@@ -36,14 +37,21 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--data_path", default="./data")
         sp.add_argument("--data_path_2", default=None,
                         help="second dataset folder (demixing/animorphosis)")
-        sp.add_argument("--image_size", type=int, default=None)
+        sp.add_argument("--image_size", "--resolution", dest="image_size",
+                        type=int, default=None)
         sp.add_argument("--channels", type=int, default=None)
         sp.add_argument("--time_steps", type=int, default=50)
+        sp.add_argument("--sample_steps", type=int, default=None,
+                        help="reverse-sample from this level (default: T)")
         sp.add_argument("--model", default="UnetConvNext",
                         choices=["UnetConvNext", "UnetResNet"])
         sp.add_argument("--dim", type=int, default=64)
         sp.add_argument("--remove_time_embed", action="store_true")
         sp.add_argument("--residual", action="store_true")
+        sp.add_argument("--output_mean_scale", action="store_true")
+        sp.add_argument("--random_aug", action="store_true")
+        sp.add_argument("--exp_name", default=None,
+                        help="results subfolder name under --save_folder")
         sp.add_argument("--loss_type", default="l1", choices=["l1", "l2", "sqrt"])
         sp.add_argument("--train_routine", default="Final")
         sp.add_argument("--sampling_routine", default="x0_step_down")
@@ -51,8 +59,12 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--recon_noise_std", type=float, default=0.0)
         sp.add_argument("--save_folder", default="./results")
         sp.add_argument("--load_path", default=None)
-        sp.add_argument("--batch_size", type=int, default=32)
-        sp.add_argument("--seed", type=int, default=0)
+        sp.add_argument("--resume_training", action="store_true",
+                        help="auto-resume from the latest checkpoint")
+        sp.add_argument("--batch_size", "--bs", dest="batch_size",
+                        type=int, default=32)
+        sp.add_argument("--seed", "--order_seed", dest="seed", type=int,
+                        default=0)
         sp.add_argument("--bf16", action="store_true")
         # blur
         sp.add_argument("--blur_routine", default="Incremental")
@@ -94,6 +106,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "test_paper_showing_diffusion_images")
     te.add_argument("--fid_weights", default=None)
     te.add_argument("--gmm_cluster", type=int, default=1)
+    te.add_argument("--gmm_size", type=int, default=16,
+                    help="low-res side for the degraded-image GMM")
+    te.add_argument("--gmm_sample_at", type=int, default=None,
+                    help="degradation level the blur-GMM is fitted at")
     te.add_argument("--noise", type=float, default=0.0)
     te.add_argument("--test_start", type=int, default=0)
     te.add_argument("--test_end", type=int, default=500)
@@ -119,6 +135,7 @@ def make_dataset(args, image_size, train=True, channels=3):
 
     if args.dataset == "synthetic":
         return SyntheticDataset(image_size, channels, length=512, seed=args.seed)
+    folder_aug = "random_aug" if getattr(args, "random_aug", False) else "aug1"
     if args.dataset == "mnist":
         return ArrayDataset(load_mnist_idx(args.data_path, train=train))
     if args.dataset == "cifar10":
@@ -127,7 +144,8 @@ def make_dataset(args, image_size, train=True, channels=3):
             aug="cifar" if train else None,
         )
     return ImageFolderDataset(
-        args.data_path, image_size, aug="aug1" if train else "center", seed=args.seed
+        args.data_path, image_size, aug=folder_aug if train else "center",
+        seed=args.seed,
     )
 
 
@@ -185,8 +203,16 @@ def build(args):
         args.model, dataset=args.dataset, image_size=image_size,
         channels=channels, with_time_emb=not args.remove_time_embed,
         residual=args.residual, dim=args.dim,
+        output_mean_scale=args.output_mean_scale,
     )
     return diffusion, model, image_size, channels
+
+
+def _results_folder(args):
+    import os
+
+    return (os.path.join(args.save_folder, args.exp_name)
+            if args.exp_name else args.save_folder)
 
 
 def run_train(args):
@@ -208,7 +234,8 @@ def run_train(args):
         train_num_steps=args.train_steps,
         gradient_accumulate_every=args.grad_accum, ema_decay=args.ema_decay,
         save_and_sample_every=args.save_and_sample_every,
-        results_folder=args.save_folder, load_path=args.load_path,
+        results_folder=_results_folder(args), load_path=args.load_path,
+        auto_resume=args.resume_training,
         bf16=args.bf16, seed=args.seed,
     )
     trainer.train()
@@ -224,12 +251,12 @@ def run_test(args):
     ds = make_dataset(args, image_size, train=False, channels=channels)
     trainer = Trainer(
         diffusion, model, ds, train_batch_size=args.batch_size,
-        results_folder=args.save_folder, load_path=args.load_path,
+        results_folder=_results_folder(args), load_path=args.load_path,
         train_num_steps=0, seed=args.seed,
     )
     params = jax.device_get(trainer.state.ema_params)
-    harness = EvalHarness(diffusion, model, params,
-                          results_folder=args.save_folder,
+    harness = EvalHarness(trainer.diffusion, model, params,
+                          results_folder=_results_folder(args),
                           fid_weights=args.fid_weights)
 
     def first_batch(n=None):
@@ -265,6 +292,16 @@ def run_test(args):
 
         save_image_grid(np.asarray(res.img),
                         harness.results_folder / "gmm_samples.png")
+    elif tt == "train_distribution_blur_torch_gmm":
+        res = harness.gmm_blur_samples(
+            ds, clusters=args.gmm_cluster, num=args.batch_size,
+            sample_at=args.gmm_sample_at or args.sample_steps,
+            gmm_res=args.gmm_size, noise_level=args.noise,
+        )
+        from ..utils import save_image_grid
+
+        save_image_grid(np.asarray(res.img),
+                        harness.results_folder / "gmm_blur_samples.png")
     elif tt == "test_paper_showing_diffusion_images":
         harness.paper_trajectory_strip(first_batch(4))
     elif tt == "test_paper_showing_diffusion_images_cover_page":

@@ -19,6 +19,7 @@ def get_model(
     dim: int = 64,
     dim_mults=(1, 2, 4, 8),
     dropout: float = 0.1,
+    output_mean_scale: bool = False,
 ):
     if model == "UnetConvNext":
         return UnetConvNext(
@@ -27,6 +28,7 @@ def get_model(
             channels=channels,
             with_time_emb=with_time_emb,
             residual=residual,
+            output_mean_scale=output_mean_scale,
         )
     if model == "UnetResNet":
         if image_size is None:
