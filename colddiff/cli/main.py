@@ -236,7 +236,7 @@ def run_train(args):
         save_and_sample_every=args.save_and_sample_every,
         results_folder=_results_folder(args), load_path=args.load_path,
         auto_resume=args.resume_training,
-        bf16=args.bf16, seed=args.seed,
+        bf16=args.bf16, seed=args.seed, to_lab=args.to_lab,
     )
     trainer.train()
 
@@ -257,7 +257,7 @@ def run_test(args):
     params = jax.device_get(trainer.state.ema_params)
     harness = EvalHarness(trainer.diffusion, model, params,
                           results_folder=_results_folder(args),
-                          fid_weights=args.fid_weights)
+                          fid_weights=args.fid_weights, to_lab=args.to_lab)
 
     def first_batch(n=None):
         return np.stack([ds[i] for i in range(min(n or args.batch_size, len(ds)))])
@@ -302,10 +302,29 @@ def run_test(args):
 
         save_image_grid(np.asarray(res.img),
                         harness.results_folder / "gmm_blur_samples.png")
-    elif tt == "test_paper_showing_diffusion_images":
-        harness.paper_trajectory_strip(first_batch(4))
-    elif tt == "test_paper_showing_diffusion_images_cover_page":
+    elif tt == "sample_from_blur":
+        harness.sample_from_blur(first_batch(), start=args.test_start)
+    elif tt in ("test_paper_showing_diffusion_images",
+                "train_paper_showing_diffusion_images"):
+        harness.paper_showing_diffusion_images(first_batch(4),
+                                               s_times=args.sample_steps)
+    elif tt in ("test_paper_invert_section_images",
+                "train_paper_invert_section_images"):
+        harness.paper_invert_section_images(first_batch(),
+                                            s_times=args.sample_steps)
+    elif tt == "test_paper_showing_diffusion_images_diff":
+        harness.paper_showing_diffusion_images_diff(first_batch(4),
+                                                    s_times=args.sample_steps)
+    elif tt == "test_paper_showing_sampling_diff_images":
+        harness.paper_showing_sampling_diff_images(first_batch(4),
+                                                   s_times=args.sample_steps)
+    elif tt in ("test_paper_showing_diffusion_images_cover_page",
+                "train_paper_showing_diffusion_images_cover_page"):
         harness.paper_cover_page(first_batch(6))
+    elif tt == "train_paper_showing_diffusion_images_cover_page_both_sampling":
+        harness.paper_cover_page_both_sampling(first_batch(4))
+    elif tt == "test_paper_trajectory_strip":
+        harness.paper_trajectory_strip(first_batch(4))
     elif tt == "forward_and_backward":
         harness.forward_and_backward(first_batch(4))
     else:

@@ -213,9 +213,14 @@ def inception_features_from_torch_checkpoint(path: str) -> Callable:
 
     @jax.jit
     def features(x):
+        if x.shape[-1] == 1:
+            # grayscale -> 3 channels, as the reference harness does before
+            # FID (deblurring_diffusion_pytorch.py:1612-1615 ``repeat``)
+            x = jnp.tile(x, (1, 1, 1, 3))
         return inception_pool3_features(p, x)
 
     features.is_inception = True
+    features.name = "inception"
     return features
 
 
@@ -249,6 +254,7 @@ def fid_features_fn(weights_path: Optional[str] = None) -> Callable:
         return jnp.mean(x, axis=(1, 2))
 
     features.is_inception = False
+    features.name = "fallback-random-projection"
     return features
 
 

@@ -42,6 +42,7 @@ class EvalHarness:
         params,
         results_folder: str = "./results_eval",
         fid_weights: Optional[str] = None,
+        to_lab: bool = False,
     ):
         self.d = diffusion
         self.model = model
@@ -50,6 +51,12 @@ class EvalHarness:
         create_folder(self.results_folder)
         self._features = None
         self._fid_weights = fid_weights
+        # Lab-space models: dataset rgb -> lab before the diffusion, outputs
+        # lab -> rgb before saving/metrics (snowification diffusion.py:287-294,
+        # :331-336; the reference FID harness feeds raw rgb into a lab-space
+        # forward process -- diffusion.py:1043 -- which we treat as a bug and
+        # convert instead)
+        self.to_lab = to_lab
 
         def denoise(x, t):
             return model.apply(params, x, t)
@@ -68,6 +75,22 @@ class EvalHarness:
 
     # ------------------------------------------------------------------ #
 
+    def _pre(self, og: jnp.ndarray) -> jnp.ndarray:
+        """Dataset space (rgb [-1,1]) -> model space."""
+        if self.to_lab:
+            from ..ops.image import rgb2lab
+
+            return rgb2lab(og)
+        return og
+
+    def _post(self, imgs) -> np.ndarray:
+        """Model space -> rgb [-1,1] (applied over any [..., H, W, 3])."""
+        if self.to_lab:
+            from ..ops.image import lab2rgb
+
+            return np.asarray(lab2rgb(jnp.asarray(imgs)))
+        return np.asarray(imgs)
+
     def _degrade_start(self, og, rng):
         end_rng, op_rng = jax.random.split(rng)
         x_end = self.d.op.sample_x_end(end_rng, og)
@@ -83,18 +106,18 @@ class EvalHarness:
         """Full trajectory dump for one batch (PNG grids + GIFs)."""
         rng = rng if rng is not None else jax.random.key(0)
         og = jnp.asarray(batch)
-        start, x_end, op = self._degrade_start(og, rng)
+        start, x_end, op = self._degrade_start(self._pre(og), rng)
         res = all_sample(self.d.replace(op=op), self.denoise, start, x_end=x_end,
                          rng=rng)
-        x0s = np.asarray(res.x0_trajectory)
-        xts = np.asarray(res.xt_trajectory)
+        x0s = self._post(res.x0_trajectory)
+        xts = self._post(res.xt_trajectory)
         root = self.results_folder
         save_image_grid(np.asarray(og), root / f"og-{milestone}.png")
         for k in range(x0s.shape[0]):
             save_image_grid(x0s[k], root / f"x0-{milestone}-{k}.png")
             save_image_grid(xts[k], root / f"xt-{milestone}-{k}.png")
-        save_gif(list(x0s), root / f"x0-{milestone}.gif", fps=fps)
-        save_gif(list(xts), root / f"xt-{milestone}.gif", fps=fps)
+        save_gif(list(x0s), root / f"x0-{milestone}.gif", fps=fps, titles=True)
+        save_gif(list(xts), root / f"xt-{milestone}.gif", fps=fps, titles=True)
         return res
 
     def test_with_mixup(self, batch1, batch2, milestone: str = "mixup", rng=None):
@@ -112,12 +135,12 @@ class EvalHarness:
         (defading_diffusion_gaussian.py:922-943)."""
         rng = rng if rng is not None else jax.random.key(0)
         og = jnp.asarray(batch)
-        start, x_end, op = self._degrade_start(og, rng)
+        start, x_end, op = self._degrade_start(self._pre(og), rng)
         res = sample(self.d.replace(op=op), self.denoise, start, x_end=x_end, rng=rng)
         root = self.results_folder
-        for name, imgs in [("og", og), ("xt", res.xt),
-                           ("direct_recons", res.direct_recons),
-                           ("recon", res.img)]:
+        for name, imgs in [("og", og), ("xt", self._post(res.xt)),
+                           ("direct_recons", self._post(res.direct_recons)),
+                           ("recon", self._post(res.img))]:
             save_image_grid(np.asarray(imgs), root / f"sample-{name}-{extra}.png")
         return res
 
@@ -149,7 +172,11 @@ class EvalHarness:
         self, dataset, start: int = 0, end: int = 1000, batch_size: int = 32,
         rng=None,
     ) -> dict:
-        """The paper's Table harness: prints and returns the 3x3 metric grid."""
+        """The paper's Table harness: prints and returns the 3x3 metric grid.
+
+        Images wider than 256px are nearest-downscaled to 64 before the
+        metrics, as the snowification harness does
+        (snowification/diffusion/diffusion.py:1050-1054)."""
         rng = rng if rng is not None else jax.random.key(0)
         idx = range(start, min(end, len(dataset)))
         originals, degradeds, sampleds, directs = [], [], [], []
@@ -169,28 +196,42 @@ class EvalHarness:
         sm = np.concatenate(sampleds)
         dr = np.concatenate(directs)
 
-        out = {}
+        # loud extractor identity: fallback numbers must never be mistaken
+        # for real Inception-FID, so they get ``proxy_fid_*`` keys
+        extractor = getattr(self.features, "name",
+                            "inception" if getattr(self.features, "is_inception",
+                                                   False) else "fallback")
+        fid_key = "fid" if self.features.is_inception else "proxy_fid"
+        out = {"extractor": extractor}
         for name, other in [("degraded", bl), ("sampled", sm), ("direct", dr)]:
-            out[f"fid_{name}"] = calculate_fid_given_samples(
+            out[f"{fid_key}_{name}"] = calculate_fid_given_samples(
                 [og, other], features=self.features
             )
             out[f"rmse_{name}"] = float(rmse(jnp.asarray(og), jnp.asarray(other)))
             out[f"ssim_{name}"] = float(
                 ssim(jnp.asarray(og), jnp.asarray(other), data_range=1.0)
             )
-        out["fid_improvement"] = out["fid_degraded"] - out["fid_sampled"]
+        out[f"{fid_key}_improvement"] = (
+            out[f"{fid_key}_degraded"] - out[f"{fid_key}_sampled"]
+        )
         for k, v in out.items():
-            print(f"{k}: {v:.5f}")
+            print(f"{k}: {v:.5f}" if isinstance(v, float) else f"{k}: {v}")
         return out
 
     def _manifold_batch(self, batch, rng, originals, degradeds, sampleds, directs):
         og = jnp.asarray(batch)
-        start, x_end, op = self._degrade_start(og, rng)
+        start, x_end, op = self._degrade_start(self._pre(og), rng)
         res = self._all_sample(start, x_end, rng)
-        originals.append(np.asarray(og))
-        degradeds.append(np.asarray(res.xt_trajectory[0]))
-        sampleds.append(np.asarray(res.img))
-        directs.append(np.asarray(res.x0_trajectory[0]))
+        rows = [np.asarray(og), self._post(res.xt_trajectory[0]),
+                self._post(res.img), self._post(res.x0_trajectory[0])]
+        if rows[0].shape[1] > 256:
+            # torch F.interpolate(size=64) default mode='nearest'
+            # (snowification diffusion.py:1050-1054): src = floor(i * scale)
+            h = rows[0].shape[1]
+            idx = np.minimum((np.arange(64) * (h / 64)).astype(int), h - 1)
+            rows = [r[:, idx][:, :, idx] for r in rows]
+        for acc, r in zip((originals, degradeds, sampleds, directs), rows):
+            acc.append(r)
 
     # ------------------------------------------------------------------ #
 
@@ -277,7 +318,8 @@ class EvalHarness:
         """Blind generation via GMM over *degraded low-res images* at level
         ``sample_at`` (sample_as_a_blur_torch_gmm, deblur :1514-1564):
         degrade train images to sample_at, downsample, flatten, fit GMM,
-        sample, upsample, reverse-sample from sample_at."""
+        sample, upsample, continue the degradation chain sample_at -> T
+        (sample_from_blur with start=sample_at, :1551), reverse from T."""
         rng = rng if rng is not None else jax.random.key(0)
         T = self.d.num_timesteps
         sample_at = sample_at if sample_at is not None else T
@@ -294,12 +336,10 @@ class EvalHarness:
         gmm = fit_gmm(low, clusters, f_rng)
         draws = sample_gmm(gmm, s_rng, num).reshape(num, gmm_res, gmm_res, c)
         start = jax.image.resize(draws, (num, s, s, c), method="bilinear")
-        # gen_sample re-degrades the GMM draw through the chain before the
-        # reverse loop (deblur :465-482)
-        start = prepare_start(self.d, start, sample_at)
         if noise_level > 0:
             start = start + noise_level * jax.random.normal(n_rng, start.shape)
-        return sample(self.d, self.denoise, start, sample_at, rng=samp_rng)
+        xt = self.d.op.degrade_range(start, sample_at, T)
+        return sample(self.d, self.denoise, xt, rng=samp_rng)
 
     def forward_and_backward(self, batch, rng=None, prefix: str = "fb"):
         """Forward degradation frames + reverse frames for figure strips
@@ -348,6 +388,173 @@ class EvalHarness:
         path = self.results_folder / name
         Image.fromarray(page).save(path)
         return path
+
+    # ------------------------------------------------------------------ #
+    # named paper-figure generators (reference --test_type surface)
+
+    def _run_all_sample(self, og, rng, s_times=None, routine=None):
+        d = self.d if routine is None else self.d.replace(sampling_routine=routine)
+        start, x_end, op = self._degrade_start(og, rng)
+        return all_sample(d.replace(op=op), self.denoise, start,
+                          t=s_times, x_end=x_end, rng=rng)
+
+    @staticmethod
+    def _panel(imgs, pad: int = 10, color: float = -1.0) -> np.ndarray:
+        """hconcat [H,W,C] images with a uniform border (cv2.copyMakeBorder +
+        hconcat in the reference; color -1 = black, +1 = white)."""
+        out = []
+        for im in imgs:
+            im = np.asarray(im)
+            if im.shape[-1] == 1:
+                im = np.repeat(im, 3, axis=-1)
+            out.append(np.pad(im, ((pad, pad), (pad, pad), (0, 0)),
+                              constant_values=color))
+        return np.concatenate(out, axis=1)
+
+    @staticmethod
+    def _save_png(img, path):
+        from PIL import Image
+
+        img = ((np.clip(np.asarray(img), -1, 1) + 1) * 127.5).astype(np.uint8)
+        if img.shape[-1] == 1:
+            img = img[..., 0]
+        Image.fromarray(img).save(path)
+        return path
+
+    def paper_invert_section_images(self, batch, s_times=None, rng=None):
+        """Per-sample [degraded | direct recon | sampled recon | original]
+        panels with 10px black borders
+        (denoising_diffusion_pytorch.py:910-956)."""
+        rng = rng if rng is not None else jax.random.key(0)
+        og = jnp.asarray(batch)
+        res = self._run_all_sample(og, rng, s_times)
+        root = self.results_folder
+        paths = []
+        for cnt in range(max(og.shape[0] // 3, 1)):
+            parts = {
+                "blurry_image": res.xt_trajectory[0][cnt],
+                "direct_recons": res.x0_trajectory[0][cnt],
+                "sampling_recons": res.x0_trajectory[-1][cnt],
+                "original": og[cnt],
+            }
+            for name, im in parts.items():
+                self._save_png(im, root / f"{name}_{cnt}.png")
+            paths.append(self._save_png(
+                self._panel(list(parts.values()), color=-1.0) ,
+                root / f"all_{cnt}.png"))
+        return paths
+
+    def paper_showing_diffusion_images(self, batch, s_times=None, rng=None,
+                                       to_show=(0, 2, 4, 8, 16, 32, 64, 80,
+                                                88, 92, 96, 98, 99)):
+        """Per-sample reverse-trajectory strips at fixed step indices + the
+        final reconstruction (denoising_diffusion_pytorch.py:957-996)."""
+        rng = rng if rng is not None else jax.random.key(0)
+        og = jnp.asarray(batch)
+        res = self._run_all_sample(og, rng, s_times)
+        xts = np.asarray(res.xt_trajectory)
+        steps = xts.shape[0]
+        pick = [j for j in to_show if j < steps]
+        root = self.results_folder
+        paths = []
+        for cnt in range(og.shape[0]):
+            frames = [xts[j, cnt] for j in pick]
+            frames.append(np.asarray(res.x0_trajectory[-1][cnt]))
+            paths.append(self._save_png(self._panel(frames, pad=0),
+                                        root / f"all_{cnt}.png"))
+        return paths
+
+    def paper_showing_diffusion_images_diff(
+        self, batch, s_times=None, rng=None,
+        to_show=(0, 1, 2, 4, 8, 10, 12, 16, 17, 18, 19, 20),
+    ):
+        """Algorithm-1 vs Algorithm-2 trajectory strips for sample 0
+        (denoising_diffusion_pytorch.py:997-1049 all_sample_both_sample)."""
+        rng = rng if rng is not None else jax.random.key(0)
+        og = jnp.asarray(batch)
+        root = self.results_folder
+        paths = []
+        for alg, routine in (("alg2", "x0_step_down"), ("alg1", "default")):
+            res = self._run_all_sample(og, rng, s_times, routine=routine)
+            xts = np.asarray(res.xt_trajectory)
+            pick = [j for j in to_show if j < xts.shape[0]]
+            frames = [xts[j, 0] for j in pick]
+            frames.append(np.asarray(res.x0_trajectory[-1][0]))
+            paths.append(self._save_png(self._panel(frames, pad=0),
+                                        root / f"all_{alg}_0.png"))
+        return paths
+
+    def paper_showing_sampling_diff_images(self, batch, s_times=None, rng=None):
+        """Per-sample [original | alg1 final | alg2 final] white-bordered
+        panels (denoising_diffusion_pytorch.py:1051-1090)."""
+        rng = rng if rng is not None else jax.random.key(0)
+        og = jnp.asarray(batch)
+        res2 = self._run_all_sample(og, rng, s_times, routine="x0_step_down")
+        res1 = self._run_all_sample(og, rng, s_times, routine="default")
+        root = self.results_folder
+        paths = []
+        for cnt in range(og.shape[0]):
+            self._save_png(res1.x0_trajectory[-1][cnt],
+                           root / f"x0_alg1_{cnt}.png")
+            self._save_png(res2.x0_trajectory[-1][cnt],
+                           root / f"x0_alg2_{cnt}.png")
+            self._save_png(og[cnt], root / f"og_img_{cnt}.png")
+            panel = self._panel(
+                [og[cnt], res1.x0_trajectory[-1][cnt],
+                 res2.x0_trajectory[-1][cnt]], color=1.0)
+            paths.append(self._save_png(panel, root / f"all_{cnt}.png"))
+        return paths
+
+    def paper_cover_page_both_sampling(self, batch, n_frames: int = 8,
+                                       rng=None):
+        """Forward strip + one reverse strip per sampling algorithm
+        (deblur paper_showing_diffusion_images_cover_page_both_sampling,
+        :1269-1337 via forward_and_backward_2)."""
+        rng = rng if rng is not None else jax.random.key(0)
+        og = jnp.asarray(batch)
+        b = og.shape[0]
+        T = self.d.num_timesteps
+        end_rng, _ = jax.random.split(rng)
+        x_end = self.d.op.sample_x_end(end_rng, og)
+        fwd = [np.asarray(og)] + [
+            np.asarray(self.d.op.degrade(og, jnp.full((b,), n), x_end=x_end,
+                                         og=og))
+            for n in range(1, T + 1)
+        ]
+        root = self.results_folder
+        pick = np.linspace(0, T, min(n_frames, T + 1)).astype(int)
+        paths = []
+        for alg, routine in (("1", "default"), ("2", "x0_step_down")):
+            d = self.d.replace(sampling_routine=routine)
+            res = all_sample(d, self.denoise, jnp.asarray(fwd[-1]),
+                             x_end=x_end, rng=rng)
+            bwd = [np.asarray(f) for f in res.xt_trajectory]
+            bwd.append(np.asarray(res.img))
+            for k in range(b):
+                frames = [fwd[j][k] for j in pick]
+                frames += [bwd[j][k] for j in pick[1:]]
+                paths.append(self._save_png(
+                    self._panel(frames, pad=0), root / f"all_{alg}_{k}.png"))
+        return paths
+
+    def sample_from_blur(self, img, start: int = 0, rng=None,
+                         prefix: str = "from_blur"):
+        """Continue the degradation chain from level ``start`` to T on an
+        already-degraded input, then reverse-sample
+        (GaussianDiffusion.sample_from_blur, deblur :863-925; Trainer wiring
+        sample_as_a_blur_torch_gmm :1551)."""
+        rng = rng if rng is not None else jax.random.key(0)
+        img = jnp.asarray(img)
+        T = self.d.num_timesteps
+        xt = self.d.op.degrade_range(img, start, T)
+        res = sample(self.d, self.denoise, xt, rng=rng)
+        root = self.results_folder
+        save_image_grid(np.asarray(img), root / f"sample-og-{prefix}.png")
+        save_image_grid(np.asarray(res.xt), root / f"sample-xt-{prefix}.png")
+        save_image_grid(np.asarray(res.direct_recons),
+                        root / f"sample-direct_recons-{prefix}.png")
+        save_image_grid(np.asarray(res.img), root / f"sample-recon-{prefix}.png")
+        return res
 
     def paper_trajectory_strip(self, batch, n_frames: int = 8, rng=None,
                                name: str = "trajectory_strip.png"):

@@ -66,6 +66,17 @@ class Degradation(struct.PyTreeNode):
         """
         return self.degrade(x, n, **kw)
 
+    def degrade_range(self, x: jnp.ndarray, n0: int, n1: int) -> jnp.ndarray:
+        """Apply steps ``n0..n1-1`` to a state already degraded to level
+        ``n0`` (static ints).  Used by ``sample_from_blur``-style partial
+        forward chains (deblurring_diffusion_pytorch.py:877-879
+        ``for i in range(start, t)``).  Only sequential-composition operators
+        (blur) support this; interpolation operators would need the clean
+        endpoint."""
+        raise NotImplementedError(
+            f"{type(self).__name__} does not support partial-range degradation"
+        )
+
     def total(self, x: jnp.ndarray, *, x_end=None, og=None, rng=None) -> jnp.ndarray:
         """Fully degraded state x_T (used to initialize generation)."""
         b = x.shape[0]

@@ -63,12 +63,10 @@ class GaussianBlur(Degradation):
             for (ks, std, mode) in params
         ]
         cum = jnp.asarray(linop.cumulative_matrices(mats))
-        steps = None
-        if blur_routine == "Individual_Incremental":
-            eye = np.eye(image_size, dtype=np.float64)
-            steps = jnp.asarray(
-                np.stack([eye] + mats).astype(np.float32)
-            )
+        # per-step matrices (steps[n] = A_{n-1}, steps[0] = I): used by
+        # Individual_Incremental sampling and by degrade_range
+        eye = np.eye(image_size, dtype=np.float64)
+        steps = jnp.asarray(np.stack([eye] + mats).astype(np.float32))
         return cls(
             timesteps=timesteps,
             cum=cum,
@@ -88,6 +86,30 @@ class GaussianBlur(Degradation):
         y = linop.apply_separable(x, self.cum, n)
         if self.discrete:
             y = self._collapse_discrete(x, y, n)
+        return y
+
+    def degrade_range(self, x, n0, n1):
+        """Apply blur steps n0..n1-1 to a level-n0 state (static ints);
+        the sample_from_blur forward preamble
+        (deblurring_diffusion_pytorch.py:877-886), incl. the discrete
+        collapse when the chain reaches T."""
+        n0, n1 = int(n0), int(n1)
+        if not 0 <= n0 <= n1 <= self.timesteps:
+            raise ValueError(f"invalid range [{n0}, {n1}] for T={self.timesteps}")
+        b = x.shape[0]
+        nvec = jnp.full((b,), n1, dtype=jnp.int32)
+        if n0 == 0:
+            return self.degrade(x, nvec)
+        m = self.steps[n0 + 1] if n1 > n0 else jnp.eye(
+            self.cum.shape[1], dtype=self.cum.dtype
+        )
+        for i in range(n0 + 2, n1 + 1):
+            m = jnp.matmul(self.steps[i], m,
+                           precision=jax.lax.Precision.HIGHEST)
+        mb = jnp.broadcast_to(m, (b, *m.shape))
+        y = linop.apply_rowcol(x, mb, mb)
+        if self.discrete:
+            y = self._collapse_discrete(x, y, nvec)
         return y
 
     def degrade_sampling(self, x, n, **kw):

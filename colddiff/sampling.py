@@ -122,6 +122,7 @@ def sample(
     rng: Optional[jax.Array] = None,
     trajectory: bool = False,
     refresh_every: int = 1,
+    traj_stride: int = 1,
 ) -> SampleResult:
     """Run the full reverse loop from state ``img`` at level ``t`` (static).
 
@@ -134,6 +135,14 @@ def sample(
     the x0 prediction is refreshed only every K steps and reused in between
     (cold-diffusion predictions drift slowly across adjacent levels), cutting
     UNet calls -- and sampling time -- by ~K at some quality cost.
+
+    ``traj_stride`` (static, must divide ``steps``) thins the returned
+    trajectories to every k-th frame: [steps/k, B, H, W, C] instead of the
+    reference's full [T, ...] stacks, which at T=200/B=32/128px would pin
+    ~5 GB of device output (reference behavior at stride 1).  Frame j of the
+    thinned trajectory is frame j*k of the full one, so frame 0 (the
+    degraded start / first direct recon, which the FID harness consumes)
+    is always present.
     """
     steps = diffusion.num_timesteps if t is None else int(t)
     if rng is None:
@@ -142,6 +151,10 @@ def sample(
     noise_rngs = jax.random.split(jax.random.fold_in(rng, 2), steps)
 
     cached = refresh_every > 1
+    if trajectory and steps % traj_stride != 0:
+        raise ValueError(
+            f"traj_stride={traj_stride} must divide steps={steps}"
+        )
 
     def body(carry, inputs):
         cur, direct, cache = (carry if cached else (*carry, None))
@@ -169,7 +182,30 @@ def sample(
     init = (img, jnp.zeros_like(img))
     if cached:
         init = (*init, jnp.zeros_like(img))
-    carry_out, ys = jax.lax.scan(body, init, (ks, op_rngs, noise_rngs))
+    if trajectory and traj_stride > 1:
+        # two-level scan: the inner scan advances traj_stride real steps and
+        # the outer scan emits one (x0_hat, x_t) frame per chunk -- the
+        # trajectory buffer XLA allocates is steps/traj_stride frames.
+        n_chunks = steps // traj_stride
+        xs = (
+            ks.reshape(n_chunks, traj_stride),
+            op_rngs.reshape(n_chunks, traj_stride, *op_rngs.shape[1:]),
+            noise_rngs.reshape(n_chunks, traj_stride, *noise_rngs.shape[1:]),
+        )
+
+        def chunk_body(carry, chunk_inputs):
+            first = jax.tree_util.tree_map(lambda a: a[0], chunk_inputs)
+            cur0 = carry[0]
+            mid, frame = body(carry, first)
+            rest = jax.tree_util.tree_map(lambda a: a[1:], chunk_inputs)
+            out, _ = jax.lax.scan(
+                lambda c, i: (body(c, i)[0], None), mid, rest
+            )
+            return out, (frame[0], cur0)
+
+        carry_out, ys = jax.lax.scan(chunk_body, init, xs)
+    else:
+        carry_out, ys = jax.lax.scan(body, init, (ks, op_rngs, noise_rngs))
     final, direct = carry_out[0], carry_out[1]
     if trajectory:
         x0_traj, xt_traj = ys
@@ -242,8 +278,11 @@ def all_sample(
     *,
     x_end: Optional[jnp.ndarray] = None,
     rng: Optional[jax.Array] = None,
+    traj_stride: int = 1,
 ) -> SampleResult:
     """Reverse loop that also returns the full [steps, B, H, W, C]
     reconstruction/state trajectories (reference all_sample,
-    deblurring_diffusion_pytorch.py:609-689)."""
-    return sample(diffusion, denoise_fn, img, t, x_end=x_end, rng=rng, trajectory=True)
+    deblurring_diffusion_pytorch.py:609-689).  ``traj_stride > 1`` keeps
+    every k-th frame to bound trajectory memory (see :func:`sample`)."""
+    return sample(diffusion, denoise_fn, img, t, x_end=x_end, rng=rng,
+                  trajectory=True, traj_stride=traj_stride)

@@ -72,6 +72,7 @@ class Trainer:
         debug_nans: bool = False,
         remat: bool = False,
         auto_resume: bool = False,
+        to_lab: bool = False,
     ):
         from .data.datasets import DataLoader
 
@@ -97,6 +98,10 @@ class Trainer:
         self.metrics_path = self.results_folder / "metrics.jsonl"
         # rematerialize the UNet in backward to trade FLOPs for HBM
         self.remat = remat
+        # Lab-space training: batches are rgb2lab-converted after loading and
+        # sample grids lab2rgb-converted before saving (snowification Trainer
+        # post_process_func, diffusion.py:613-625, :743-750)
+        self.to_lab = to_lab
 
         self.dl = cycle(
             DataLoader(dataset, train_batch_size, num_workers=num_workers, seed=seed)
@@ -225,14 +230,22 @@ class Trainer:
 
     # ------------------------------------------------------------------ #
 
+    def _to_model_space(self, xs: np.ndarray) -> jnp.ndarray:
+        x = jnp.asarray(xs)
+        if self.to_lab:
+            from .ops.image import rgb2lab
+
+            x = rgb2lab(x)
+        return x
+
     def _next_superbatch(self):
         xs = np.stack([next(self.dl) for _ in range(self.accum)])
         # [accum, B, H, W, C]: shard the batch dim (1) across the mesh
-        batch = shard_batch(jnp.asarray(xs), self.mesh, batch_dim=1)
+        batch = shard_batch(self._to_model_space(xs), self.mesh, batch_dim=1)
         batch2 = None
         if self.dl2 is not None:
             xs2 = np.stack([next(self.dl2) for _ in range(self.accum)])
-            batch2 = shard_batch(jnp.asarray(xs2), self.mesh, batch_dim=1)
+            batch2 = shard_batch(self._to_model_space(xs2), self.mesh, batch_dim=1)
         return batch, batch2
 
     def train(self, log_every: int = 100):
@@ -284,17 +297,26 @@ class Trainer:
 
     def snapshot(self, milestone: int, batch_size: Optional[int] = None):
         """EMA sample grids, reference Trainer.train() (:1206-1228)."""
-        og = np.stack(
+        og_rgb = np.stack(
             [next(self.dl) for _ in range(1)]
         )[0][: batch_size or min(self.batch_size, 36)]
-        og = jnp.asarray(og)
+        og = self._to_model_space(og_rgb)
         res = self._sample_fn(
             self.state.ema_params, self.diffusion, og, None,
             jax.random.key(self.step),
         )
+
+        def to_rgb(imgs):
+            if self.to_lab:
+                from .ops.image import lab2rgb
+
+                return lab2rgb(jnp.asarray(imgs))
+            return imgs
+
         for name, imgs in [
-            ("og", og), ("xt", res.xt),
-            ("direct_recons", res.direct_recons), ("sample", res.img),
+            ("og", og_rgb), ("xt", to_rgb(res.xt)),
+            ("direct_recons", to_rgb(res.direct_recons)),
+            ("sample", to_rgb(res.img)),
         ]:
             save_image_grid(
                 np.asarray(imgs), self.results_folder / f"{name}-{milestone}.png"

@@ -15,6 +15,7 @@ __all__ = [
     "cycle",
     "to_uint8_grid",
     "save_image_grid",
+    "add_title_bar",
     "save_gif",
     "create_folder",
 ]
@@ -61,13 +62,35 @@ def save_image_grid(images: np.ndarray, path: str | os.PathLike, nrow: int = 6) 
     Image.fromarray(to_uint8_grid(images, nrow)).save(path)
 
 
-def save_gif(frames: list[np.ndarray], path: str | os.PathLike, fps: int = 5) -> None:
+def add_title_bar(frame: np.ndarray, titles: list[str]) -> np.ndarray:
+    """10px black border + 20px magenta title strip with evenly spaced texts
+    (reference Trainer.add_title, snowification/diffusion/diffusion.py:682-706)."""
+    from PIL import Image, ImageDraw
+
+    frame = np.pad(frame, ((10, 10), (10, 10), (0, 0)))
+    bar = np.zeros((20, frame.shape[1], 3), np.uint8)
+    bar[:] = (180, 0, 255)  # the reference's BGR (255, 0, 180), as RGB
+    img = Image.fromarray(np.concatenate([bar, frame], axis=0))
+    draw = ImageDraw.Draw(img)
+    n = max(len(titles), 1)
+    for i, title in enumerate(titles):
+        x = i * (frame.shape[1] // n) + frame.shape[1] // (2 * n)
+        draw.text((x, 4), str(title), fill=(0, 0, 0))
+    return np.asarray(img)
+
+
+def save_gif(frames: list[np.ndarray], path: str | os.PathLike, fps: int = 5,
+             titles: bool = False) -> None:
     """Save a list of [B, H, W, C] batches in [-1, 1] as an animated grid GIF
-    (reference save_gif, snowification/diffusion/diffusion.py:764-807)."""
+    (reference save_gif, snowification/diffusion/diffusion.py:764-807).
+    ``titles=True`` adds the reference's per-frame step-index title bar."""
     from PIL import Image
 
     Path(path).parent.mkdir(parents=True, exist_ok=True)
-    pil = [Image.fromarray(to_uint8_grid(f)) for f in frames]
+    grids = [to_uint8_grid(f) for f in frames]
+    if titles:
+        grids = [add_title_bar(g, [str(i)]) for i, g in enumerate(grids)]
+    pil = [Image.fromarray(g) for g in grids]
     pil[0].save(
         path, save_all=True, append_images=pil[1:], duration=int(1000 / fps), loop=0
     )

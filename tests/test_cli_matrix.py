@@ -73,6 +73,52 @@ def test_cli_mix_two_datasets(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
 
 
+def test_cli_to_lab_decolor_train(tmp_path):
+    """Lab-space end-to-end: rgb2lab batches, lab-space decolor operator,
+    lab2rgb sample grids (snowification --to_lab, diffusion.py:613-625)."""
+    cmd = [
+        sys.executable, "-m", "colddiff.cli.main", "train",
+        "--degradation", "decolor", "--decolor_routine", "Linear", "--to_lab",
+        "--dataset", "synthetic", "--image_size", "16", "--time_steps", "3",
+        "--model", "UnetConvNext", "--dim", "8",
+        "--batch_size", "8", "--train_steps", "1", "--grad_accum", "1",
+        "--save_and_sample_every", "1",
+        "--save_folder", str(tmp_path / "out"),
+    ]
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    r = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                       cwd="/root/repo", timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    # sample grid artifacts were converted back to rgb and saved
+    assert (tmp_path / "out" / "sample-1.png").exists()
+    assert (tmp_path / "out" / "og-1.png").exists()
+
+
+def test_cli_paper_figures_dispatch(tmp_path):
+    """The named --test_type figure generators dispatch end-to-end."""
+    for tt, artifact in [
+        ("test_paper_invert_section_images", "all_0.png"),
+        ("test_paper_showing_sampling_diff_images", "x0_alg1_0.png"),
+    ]:
+        cmd = [
+            sys.executable, "-m", "colddiff.cli.main", "test",
+            "--degradation", "blur", "--blur_size", "3", "--blur_std", "1.0",
+            "--blur_routine", "Constant",
+            "--dataset", "synthetic", "--image_size", "16", "--time_steps", "3",
+            "--model", "UnetConvNext", "--dim", "8", "--batch_size", "4",
+            "--test_type", tt, "--save_folder", str(tmp_path / tt),
+        ]
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        r = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                           cwd="/root/repo", timeout=600)
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert (tmp_path / tt / artifact).exists()
+
+
 def test_bf16_training_decreases_loss(tmp_path):
     from tests.test_train import make_trainer
 

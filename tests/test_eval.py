@@ -89,9 +89,12 @@ def test_harness_test_from_data_and_manifold(tmp_path, rng):
     assert (tmp_path / "xt-7-2.png").exists()
 
     out = h.fid_distance_decrease_from_manifold(ds, end=8, batch_size=4)
-    for key in ("fid_degraded", "fid_sampled", "rmse_direct", "ssim_sampled",
-                "fid_improvement"):
+    # no Inception weights in this container -> loud proxy_fid_* keys
+    assert out["extractor"] == "fallback-random-projection"
+    for key in ("proxy_fid_degraded", "proxy_fid_sampled", "rmse_direct",
+                "ssim_sampled", "proxy_fid_improvement"):
         assert np.isfinite(out[key])
+    assert not any(k.startswith("fid_") for k in out)
 
     p = h.paper_trajectory_strip(batch)
     assert p.exists()
