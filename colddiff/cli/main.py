@@ -33,7 +33,9 @@ def build_parser() -> argparse.ArgumentParser:
                                  "fade_naive", "fade_generation", "resolution",
                                  "snow"])
         sp.add_argument("--dataset", default="folder",
-                        help="mnist | cifar10 | folder | synthetic")
+                        help="mnist | cifar10 | folder | synthetic | celeba "
+                             "| flowers | lsun_church (named sets parse the "
+                             "standard torchvision on-disk layouts)")
         sp.add_argument("--data_path", default="./data")
         sp.add_argument("--data_path_2", default=None,
                         help="second dataset folder (demixing/animorphosis)")
@@ -142,6 +144,17 @@ def make_dataset(args, image_size, train=True, channels=3):
         return ArrayDataset(
             load_cifar10_batches(args.data_path, train=train),
             aug="cifar" if train else None,
+        )
+    if args.dataset in ("celeba", "flowers", "lsun_church"):
+        from ..data.get_dataset import get_dataset as named_dataset
+
+        name = {"celeba": "CelebA", "flowers": "flower",
+                "lsun_church": "lsun_church"}[args.dataset]
+        split = "train" if train else (
+            "val" if args.dataset == "lsun_church" else "test")
+        return named_dataset(
+            f"{name}_{split}", args.data_path, image_size,
+            random_aug=getattr(args, "random_aug", False), seed=args.seed,
         )
     return ImageFolderDataset(
         args.data_path, image_size, aug=folder_aug if train else "center",

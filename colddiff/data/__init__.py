@@ -6,3 +6,9 @@ from .datasets import (  # noqa: F401
     load_cifar10_batches,
     load_mnist_idx,
 )
+from .get_dataset import (  # noqa: F401
+    CelebADataset,
+    Flowers102Dataset,
+    LSUNChurchDataset,
+    get_dataset,
+)

@@ -65,8 +65,24 @@ class ChannelLayerNorm(nn.Module):
         return (x - mean) / jnp.sqrt(var + self.eps) * g + b
 
 
+def group_norm_swish(x, gamma, beta, num_groups: int, eps: float = 1e-6,
+                     swish: bool = True):
+    """[B, H, W, C] GroupNorm + optional swish (Model2.py Normalize :32-33,
+    nonlinearity :27-29).  Plain XLA: a round-1 Pallas version measured
+    *slower* than XLA's fusion of exactly this code and was deleted
+    (docs/ROADMAP.md round-2 notes)."""
+    b, h, w, c = x.shape
+    g = num_groups
+    xg = x.reshape(b, h * w, g, c // g)
+    mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
+    var = jnp.var(xg, axis=(1, 3), keepdims=True)
+    xn = (xg - mean) * jax.lax.rsqrt(var + eps)
+    xn = xn.reshape(b, h, w, c) * gamma + beta
+    return xn * jax.nn.sigmoid(xn) if swish else xn
+
+
 class FusedGroupNormSwish(nn.Module):
-    """GroupNorm(32, eps 1e-6) optionally fused with swish (Pallas on TPU)."""
+    """GroupNorm(32, eps 1e-6) optionally fused with swish (XLA-fused)."""
 
     num_groups: int = 32
     eps: float = 1e-6
@@ -74,12 +90,11 @@ class FusedGroupNormSwish(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        from ..ops.pallas.groupnorm import group_norm_swish
-
         c = x.shape[-1]
         gamma = self.param("scale", nn.initializers.ones, (c,))
         beta = self.param("bias", nn.initializers.zeros, (c,))
-        return group_norm_swish(x, gamma, beta, self.num_groups, self.eps, self.swish)
+        return group_norm_swish(x, gamma, beta, self.num_groups, self.eps,
+                                self.swish)
 
 
 class _DWConvParams(nn.Module):
@@ -146,6 +161,17 @@ class ConvNextBlock(nn.Module):
         return h + x
 
 
+def linear_attention(q, k, v, scale: float):
+    """softmax(k) over tokens -> context = k v^T -> out = context^T q
+    (deblurring_diffusion_pytorch.py:180-186 torch einsum semantics).
+    q, k, v: [G, N, D] (G = batch*heads).  Two small batched matmuls the MXU
+    eats directly; a round-1 fused Pallas version measured slower than this
+    and was deleted (docs/ROADMAP.md round-2 notes)."""
+    ks = jax.nn.softmax(k, axis=1)
+    context = jnp.einsum("gnd,gne->gde", ks, v)
+    return jnp.einsum("gde,gnd->gne", context, q * scale)
+
+
 class LinearAttention(nn.Module):
     """Linear attention over H*W tokens (deblurring_diffusion_pytorch.py:167-187).
 
@@ -158,14 +184,11 @@ class LinearAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        from ..ops.pallas.linear_attention import linear_attention
-
         b, hgt, wid, c = x.shape
         n = hgt * wid
         hidden = self.heads * self.dim_head
         qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False, name="to_qkv")(x)
         qkv = qkv.reshape(b, n, 3, self.heads, self.dim_head)
-        # [b, n, h, d] -> [b*h, n, d] for the fused kernel
         q, k, v = (
             qkv[:, :, i].transpose(0, 2, 1, 3).reshape(b * self.heads, n, self.dim_head)
             for i in range(3)

@@ -1,2 +1,20 @@
-from .groupnorm import group_norm_swish, group_norm_swish_reference  # noqa: F401
-from .linear_attention import linear_attention, linear_attention_reference  # noqa: F401
+"""Pallas TPU kernels.
+
+Only kernels that *measured faster than XLA* live here (round-1 review rule:
+land winners, delete losers).  Current roster:
+
+- ``convnext_front``: fused depthwise-7x7 + time-bias + channel-LayerNorm,
+  lane-packed; 1.25x XLA-fp32 at the flagship level-0 shape, on by default
+  on TPU (see convnext_front.py for the measurement table).
+
+Deleted in round 2 (measured slower than XLA's own fusion on v5e; their
+plain-XLA math lives in ``colddiff.models.layers``):
+- fused linear attention (two MXU einsums beat the fused VPU pass),
+- fused GroupNorm+swish (XLA already fuses the moment/normalize/swish chain).
+"""
+
+from .convnext_front import (  # noqa: F401
+    convnext_front,
+    convnext_front_reference,
+    pallas_supported,
+)

@@ -1,20 +1,45 @@
 """Fused ConvNeXt block front: depthwise 7x7 conv + time bias + LayerNorm.
 
-Profiling the flagship UNet on v5e shows the block front is the bandwidth
-bottleneck: XLA runs dw-conv (~1.5 ms at level 0), the conditioning add and
-the per-pixel channel LayerNorm as separate HBM passes over 67 MB tensors.
-This kernel keeps an H-tile resident in VMEM and does all three in one pass:
+Profiling the flagship UNet on v5e shows the block front is the bandwidth/VPU
+bottleneck at level 0 (C=64 @128px), where XLA's fp32 depthwise conv both
+pads the 64-channel lane axis 2x AND lowers through bf16 passes (measured
+err 1.3e-2 vs true fp32).  This kernel computes
 
-  out = LN(dwconv7x7(x) + bias_dw + cond)        (ConvNextBlock, see
-  deblurring_diffusion_pytorch.py:135-165 for the reference block)
+  out = LN(dwconv7x7(x) + bias_dw + cond) * gamma + beta     (ConvNextBlock,
+  deblurring_diffusion_pytorch.py:135-165)
+
+in one VMEM pass per image with a lane-packed layout and true fp32 taps.
+
+Measured on v5e (scripts/bench_front.py, in-program looped timing, fp32):
+
+  shape                XLA(default)  XLA(fp32)  this kernel
+  (16,128,128, 64)        1512 us     1676 us     1339 us   (1.13x / 1.25x)
+  (32,128,128, 64)        3613 us     3523 us       --
+  (64,128,128, 64)        9754 us        --        7396 us*  (1.32x)
+  (16, 64, 64,128)         183 us                  (XLA wins; no lane pad)
+  * pre-subroll variant; subroll is faster still.
 
 Design:
-  - the input is zero-padded by 3 in H/W once in XLA (cheap copy), so every
-    grid program DMAs a *static-size* [Ht+6, W+6, C] halo window from HBM;
-  - the 49 taps unroll to shifted multiply-adds on the VMEM tile (VPU);
-  - channel stats ride the lane axis (C last), so LayerNorm is a native
-    lane reduction;
-  - grid = (B, H / Ht); backward is a recompute custom VJP in plain XLA.
+  - input is zero-padded once in XLA and *reshaped free of charge* to
+    [B, H+8, (W+6)*C] -- NHWC rows pack W and C into the lane axis, so a
+    C=64 image uses every lane (XLA's NHWC conv pads C=64 -> 128 lanes);
+  - a tap (dy, dx) is a window at sublane offset dy, lane offset dx*C.
+    Mosaic only slices lanes at multiples of 128 and *crashes* on dynamic
+    sublane offsets, so: lane-misaligned windows come from ONE pltpu.roll of
+    the dy-row per misalignment residue (wrap-around corrupts only the final
+    r lanes, beyond every in-range window), and dy itself is handled by
+    sublane-rolling an aligned (Ht+8)-row slab (wrap-free for i < Ht);
+  - H is tiled by a static Python loop (Ht=32), bounding live temporaries;
+  - per-pixel channel LayerNorm stats: for C % 128 == 0 a trivial reshape;
+    for C < 128 masked full-lane reductions on [Ht, W*C/128, 128] rows;
+  - taps accumulate in fp32 regardless of input dtype (more accurate than
+    XLA's default-precision conv);
+  - backward is a recompute custom VJP in plain XLA.
+
+Dispatch: ON by default on TPU for supported shapes (128 % C == 0 -- level 0
+of both UNet families; C >= 128 stays on XLA, which is already near the
+bandwidth floor there: 183 us at (16,64,64,128) vs 519+ us for kernels).
+COLDDIFF_NO_PALLAS=1 disables.
 """
 
 from __future__ import annotations
@@ -25,13 +50,14 @@ import os
 import jax
 import jax.numpy as jnp
 
-__all__ = ["convnext_front", "convnext_front_reference"]
+__all__ = ["convnext_front", "convnext_front_reference", "pallas_supported"]
 
 
 def convnext_front_reference(x, w, b, cond, gamma, beta, *, norm=True,
-                             eps: float = 1e-5):
+                             eps: float = 1e-5, precision=None):
     """Plain-XLA reference. x: [B,H,W,C]; w: [7,7,C]; b, gamma, beta: [C];
-    cond: [B,C] or None."""
+    cond: [B,C] or None.  ``precision`` feeds the conv (TPU default lowers
+    fp32 convs through bf16 passes; 'highest' forces true fp32)."""
     c = x.shape[-1]
     # flax-Conv promotion semantics: mixed input/param dtypes compute in the
     # promoted dtype (bf16 activations + fp32 params -> fp32)
@@ -40,6 +66,7 @@ def convnext_front_reference(x, w, b, cond, gamma, beta, *, norm=True,
     h = jax.lax.conv_general_dilated(
         x, w[:, :, None, :], (1, 1), [(3, 3), (3, 3)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+        precision=precision,
     ) + b
     if cond is not None:
         h = h + cond[:, None, None, :]
@@ -50,81 +77,165 @@ def convnext_front_reference(x, w, b, cond, gamma, beta, *, norm=True,
     return h
 
 
-def _kernel(xp_ref, w_ref, b_ref, cond_ref, g_ref, bt_ref, o_ref,
-            *, hgt: int, w_dim: int, norm: bool, eps: float):
-    xp = xp_ref[0]  # [H+6, W+6, C]
-    acc = None
-    for dy in range(7):
-        for dx in range(7):
-            term = xp[dy : dy + hgt, dx : dx + w_dim, :] * w_ref[dy, dx, :]
-            acc = term if acc is None else acc + term
-    h = acc + b_ref[:] + cond_ref[0, 0]
-    if norm:
-        mean = jnp.mean(h, axis=-1, keepdims=True)
-        var = jnp.mean((h - mean) ** 2, axis=-1, keepdims=True)
-        h = (h - mean) * jax.lax.rsqrt(var + eps) * g_ref[:] + bt_ref[:]
-    o_ref[0] = h.astype(o_ref.dtype)
+def _packed_norm(h, hgt_t, w_dim, c, eps):
+    """Per-pixel channel LayerNorm on a lane-packed [Ht, W*C] row block.
+
+    For C a multiple of 128 the reshape [Ht, W, C] keeps the native lane
+    width and stats are plain lane reductions.  For C < 128 (level 0's C=64)
+    that reshape needs a sub-lane relayout Mosaic rejects, so instead rows
+    reshape to [Ht, W*C/128, 128] (trivial) and per-pixel sums come from
+    masked full-lane reductions, one mask per pixel sharing the 128-lane row.
+    """
+    wc = w_dim * c
+    if c % 128 == 0 or wc % 128 != 0:
+        # native-lane reshape (C | 128), or interpreter-only small shapes
+        # (wc < 128 never reaches the compiled kernel: pallas_supported
+        # requires 128 | W*C)
+        hr = h.reshape(hgt_t, w_dim, c)
+        mean = jnp.mean(hr, axis=-1, keepdims=True)
+        cent = hr - mean
+        var = jnp.mean(cent * cent, axis=-1, keepdims=True)
+        return (cent * jax.lax.rsqrt(var + eps)).reshape(hgt_t, wc)
+    assert 128 % c == 0, f"packed norm needs C | 128, got {c}"
+    group = 128 // c
+    nr = wc // 128
+    hr = h.reshape(hgt_t, nr, 128)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (hgt_t, nr, 128), 2)
+    zero = jnp.zeros_like(hr)
+    mean = zero
+    for g in range(group):
+        m = (lane >= g * c) & (lane < (g + 1) * c)
+        s = jnp.sum(jnp.where(m, hr, 0.0), axis=-1, keepdims=True)
+        mean = mean + jnp.where(m, s, 0.0)
+    mean = mean * (1.0 / c)
+    cent = hr - mean
+    var = zero
+    for g in range(group):
+        m = (lane >= g * c) & (lane < (g + 1) * c)
+        s = jnp.sum(jnp.where(m, cent * cent, 0.0), axis=-1, keepdims=True)
+        var = var + jnp.where(m, s, 0.0)
+    var = var * (1.0 / c)
+    return (cent * jax.lax.rsqrt(var + eps)).reshape(hgt_t, wc)
 
 
-def _vmem_estimate(hgt, wid, c, itemsize):
-    lanes = -(-c // 128) * 128
-    inp = (hgt + 6) * (wid + 6) * lanes * itemsize
-    out = hgt * wid * lanes * itemsize
-    return 2 * (inp + out)  # double buffering
+def _kernel_packed(xp_ref, wp_ref, condp_ref, gp_ref, bp_ref, o_ref,
+                   *, hgt: int, hgt_t: int, w_dim: int, c: int, norm: bool,
+                   eps: float):
+    """See module docstring for the layout/rolling design."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    wc = w_dim * c
+    lanes = xp_ref.shape[-1]
+    residues = sorted({(dx * c) % 128 for dx in range(7)} - {0})
+    for base in range(0, hgt, hgt_t):
+        # aligned (Ht+8)-row slab; each dy-row view is a sublane roll of it
+        # (wrap-free for output row i < Ht since i+dy <= Ht+5 < Ht+8)
+        slab = xp_ref[0, base : base + hgt_t + 8, :].astype(jnp.float32)
+        acc = None
+        for dy in range(7):
+            row = pltpu.roll(slab, hgt_t + 8 - dy, 0)[:hgt_t, :]
+            # left-roll by r == np.roll by (lanes - r); the wrap-around only
+            # corrupts the final r lanes, beyond every in-range window
+            rolled = {0: row}
+            for r in residues:
+                rolled[r] = pltpu.roll(row, lanes - r, 1)
+            for dx in range(7):
+                off = dx * c
+                r = off % 128
+                win = rolled[r][:, off - r : off - r + wc]
+                term = win * wp_ref[dy * 7 + dx, :]
+                acc = term if acc is None else acc + term
+        h = acc + condp_ref[0, 0].astype(jnp.float32)
+        if norm:
+            h = _packed_norm(h, hgt_t, w_dim, c, eps)
+            h = h * gp_ref[0] + bp_ref[0]
+        o_ref[0, base : base + hgt_t, :] = h.astype(o_ref.dtype)
 
 
-def pallas_supported(x) -> bool:
-    bsz, hgt, wid, c = x.shape
-    if c % 8 != 0:  # tiny channel counts (the 3-channel stem) stay on XLA
-        return False
-    return _vmem_estimate(hgt, wid, c, x.dtype.itemsize) < 100 * 1024 * 1024
-
-
-def _pallas_forward(x, w, b, cond, gamma, beta, norm, eps, interpret=False):
+def _pallas_forward_packed(x, w, b, cond, gamma, beta, norm, eps,
+                           interpret=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     bsz, hgt, wid, c = x.shape
     if cond is None:
         cond = jnp.zeros((bsz, c), x.dtype)
-    cond3 = cond.reshape(bsz, 1, c)  # (1, 1, C) blocks satisfy tiling rules
+    # match flax-Conv promotion: bf16 activations + fp32 params -> fp32 out
+    out_dtype = jnp.promote_types(x.dtype, w.dtype)
+    wc = wid * c
+    wc6 = (wid + 6) * c
+    # pack: [B, H+8, W+6, C] -> [B, H+8, (W+6)*C] (free reshape in NHWC);
+    # two extra zero rows at the bottom keep the sublane-roll slabs in range
+    xp = jnp.pad(x, ((0, 0), (3, 5), (3, 3), (0, 0)))
+    xp = xp.reshape(bsz, hgt + 8, wc6)
+    # weights tiled across W so each tap is one broadcast FMA: [49, W*C]
+    wp = jnp.tile(w.reshape(49, 1, c), (1, wid, 1)).reshape(49, wc)
+    wp = wp.astype(jnp.float32)
+    # dw bias + conditioning folded into one packed per-image row: [B, 1, W*C]
+    condp = jnp.tile((cond + b)[:, None, :], (1, wid, 1)).reshape(bsz, 1, wc)
+    gp = jnp.tile(gamma[None, :], (wid, 1)).reshape(1, wc).astype(jnp.float32)
+    bp = jnp.tile(beta[None, :], (wid, 1)).reshape(1, wc).astype(jnp.float32)
 
-    xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+    # static H-tiling inside one per-image program bounds live temporaries
+    hgt_t = hgt if hgt <= 32 else next(
+        t for t in (32, 16, 8, 4, 2, 1) if hgt % t == 0)
 
-    # whole-image blocks: full trailing dims are exempt from the 8/128 tiling
-    # rules, and one (batch)-grid program per image keeps the pipeline simple
     out = pl.pallas_call(
-        functools.partial(_kernel, hgt=hgt, w_dim=wid, norm=norm, eps=eps),
+        functools.partial(_kernel_packed, hgt=hgt, hgt_t=hgt_t, w_dim=wid,
+                          c=c, norm=norm, eps=eps),
         grid=(bsz,),
         in_specs=[
-            pl.BlockSpec((1, hgt + 6, wid + 6, c), lambda bi: (bi, 0, 0, 0),
+            pl.BlockSpec((1, hgt + 8, wc6), lambda bi: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((7, 7, c), lambda bi: (0, 0, 0),
+            pl.BlockSpec((49, wc), lambda bi: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((c,), lambda bi: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, c), lambda bi: (bi, 0, 0),
+            pl.BlockSpec((1, 1, wc), lambda bi: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((c,), lambda bi: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c,), lambda bi: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wc), lambda bi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wc), lambda bi: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, hgt, wid, c), lambda bi: (bi, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, hgt, wc), lambda bi: (bi, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bsz, hgt, wid, c), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((bsz, hgt, wc), out_dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(xp, w, b, cond3, gamma, beta)
-    return out
+    )(xp, wp, condp, gp, bp)
+    return out.reshape(bsz, hgt, wid, c)
+
+
+def pallas_supported(x) -> bool:
+    """Supported shapes: C | 128 with 128-aligned packed rows, VMEM-bounded.
+
+    C >= 128 intentionally returns False -- measured XLA is already near the
+    bandwidth floor there (no lane padding), see module docstring.
+    """
+    bsz, hgt, wid, c = x.shape
+    if c < 8 or c >= 128 or 128 % c != 0:
+        return False
+    if (wid * c) % 128 != 0 or ((wid + 6) * c) % 128 != 0:
+        return False
+    item = max(x.dtype.itemsize, 4)
+    vmem = 2 * (hgt + 8) * (wid + 6) * c * x.dtype.itemsize  # in, 2 buffers
+    vmem += 2 * hgt * wid * c * x.dtype.itemsize             # out, 2 buffers
+    vmem += 4 * min(hgt, 32) * (wid + 6) * c * item          # slab/rolls/acc
+    # v5e VMEM comfortably fits the flagship level-0 tiles (~22 MB measured
+    # compiling); 48 MB keeps >=512px C=64 images off the kernel
+    return vmem < 48 * 1024 * 1024
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
 def _front(x, w, b, cond, gamma, beta, norm, eps, interpret):
-    return _pallas_forward(x, w, b, cond, gamma, beta, norm, eps, interpret)
+    return _pallas_forward_packed(x, w, b, cond, gamma, beta, norm, eps,
+                                  interpret)
 
 
 def _front_fwd(x, w, b, cond, gamma, beta, norm, eps, interpret):
-    y = _pallas_forward(x, w, b, cond, gamma, beta, norm, eps, interpret)
+    y = _pallas_forward_packed(x, w, b, cond, gamma, beta, norm, eps,
+                               interpret)
     return y, (x, w, b, cond, gamma, beta)
 
 
@@ -150,16 +261,18 @@ _front.defvjp(_front_fwd, _front_bwd)
 
 def convnext_front(x, w, b, cond, gamma, beta, *, norm: bool = True,
                    eps: float = 1e-5, force: str | None = None):
-    """Fused dw7x7 + bias + cond + LayerNorm; dispatch like the other kernels."""
+    """Fused dw7x7 + bias + cond + LayerNorm.
+
+    Default: the lane-packed Pallas kernel on TPU for supported shapes
+    (C | 128 -- level 0 of the flagship UNet, where it is 1.25x XLA-fp32 at
+    B=16 and 1.3x at B=64, measurements in the module docstring), plain XLA
+    otherwise.  ``force``: "pallas" | "xla" | "interpret" override;
+    COLDDIFF_NO_PALLAS=1 disables the kernel globally.
+    """
     if force == "interpret":
         return _front(x, w, b, cond, gamma, beta, norm, eps, True)
-    # Measured on v5e (flagship UNet, B=16 @128px): 33.9 ms/call fused vs
-    # 27.6 ms on XLA -- the 49 unrolled VPU taps with 2x lane padding (C=64)
-    # lose to XLA's conv lowering, so this kernel is opt-in for further
-    # tuning (COLDDIFF_FORCE_PALLAS=1).
     use_pallas = (
         not os.environ.get("COLDDIFF_NO_PALLAS")
-        and os.environ.get("COLDDIFF_FORCE_PALLAS")
         and jax.default_backend() == "tpu"
         and pallas_supported(x)
     )

@@ -12,6 +12,7 @@ import numpy as np
 
 __all__ = [
     "ema_update",
+    "apply_in_chunks",
     "cycle",
     "to_uint8_grid",
     "save_image_grid",
@@ -26,6 +27,36 @@ def ema_update(ema_params, new_params, decay: float):
     (reference EMA.update_average, deblurring_diffusion_pytorch.py:66-81)."""
     return jax.tree_util.tree_map(
         lambda e, p: e * decay + p * (1.0 - decay), ema_params, new_params
+    )
+
+
+def apply_in_chunks(fn, chunk_size: int, *args):
+    """Apply a batched ``fn(*args)`` in sequential chunks of ``chunk_size``.
+
+    Jit-compatible (static chunking via ``lax.scan`` of ``fn`` over reshaped
+    chunks).  XLA schedules the flagship 128px UNet forward poorly above
+    B=32 (~1.8x per-image regression at B=64 from activation spills), so big
+    eval batches run as several well-scheduled chunks of one program instead
+    of one badly-scheduled wide program.  Ragged batches are zero-padded to a
+    chunk multiple and the padding rows sliced off the output.
+    """
+    import jax.numpy as jnp
+
+    b = jax.tree_util.tree_leaves(args)[0].shape[0]
+    if b <= chunk_size:
+        return fn(*args)
+    n = -(-b // chunk_size)
+    pad = n * chunk_size - b
+
+    def to_chunks(a):
+        if pad:
+            a = jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+        return a.reshape(n, chunk_size, *a.shape[1:])
+
+    stacked = jax.tree_util.tree_map(to_chunks, args)
+    out = jax.lax.map(lambda ch: fn(*ch), stacked)
+    return jax.tree_util.tree_map(
+        lambda o: o.reshape(n * chunk_size, *o.shape[2:])[:b], out
     )
 
 

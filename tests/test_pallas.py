@@ -1,88 +1,36 @@
-"""Pallas kernels == plain-XLA reference math (interpreter mode on CPU)."""
+"""Pallas kernels == plain-XLA reference math (interpreter mode on CPU).
+
+Round 2 deleted the linear-attention and GroupNorm+swish kernels (measured
+slower than XLA, see colddiff/ops/pallas/__init__.py); their plain-XLA math
+moved to colddiff.models.layers and is pinned here against naive references.
+"""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from colddiff.ops.pallas import (
-    group_norm_swish,
-    group_norm_swish_reference,
-    linear_attention,
-    linear_attention_reference,
+from colddiff.ops.pallas.convnext_front import (
+    _pallas_forward_packed,
+    convnext_front,
+    convnext_front_reference,
+    pallas_supported,
 )
 
 
-def test_linear_attention_kernel_matches_reference(rng):
-    g, n, d = 3, 64, 32
-    q = jnp.asarray(rng.standard_normal((g, n, d)), dtype=jnp.float32)
-    k = jnp.asarray(rng.standard_normal((g, n, d)), dtype=jnp.float32)
-    v = jnp.asarray(rng.standard_normal((g, n, d)), dtype=jnp.float32)
-    want = linear_attention_reference(q, k, v, 0.17)
-    got = linear_attention(q, k, v, 0.17, force="interpret")
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
-
-
-def test_linear_attention_grads_match(rng):
-    g, n, d = 2, 32, 16
-    q = jnp.asarray(rng.standard_normal((g, n, d)), dtype=jnp.float32)
-    k = jnp.asarray(rng.standard_normal((g, n, d)), dtype=jnp.float32)
-    v = jnp.asarray(rng.standard_normal((g, n, d)), dtype=jnp.float32)
-
-    def loss_ref(q, k, v):
-        return jnp.sum(linear_attention_reference(q, k, v, 0.25) ** 2)
-
-    def loss_kernel(q, k, v):
-        return jnp.sum(linear_attention(q, k, v, 0.25, force="interpret") ** 2)
-
-    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
-    gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
-    for a, b in zip(gr, gk):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
-
-
-@pytest.mark.parametrize("swish", [True, False])
-def test_group_norm_swish_kernel_matches_reference(rng, swish):
-    b, h, w, c = 2, 8, 8, 64
-    x = jnp.asarray(rng.standard_normal((b, h, w, c)), dtype=jnp.float32)
-    gamma = jnp.asarray(rng.random(c) + 0.5, dtype=jnp.float32)
-    beta = jnp.asarray(rng.standard_normal(c) * 0.1, dtype=jnp.float32)
-    want = group_norm_swish_reference(x, gamma, beta, 32, swish=swish)
-    got = group_norm_swish(x, gamma, beta, 32, swish=swish, force="interpret")
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
-
-
-def test_group_norm_swish_grads_match(rng):
-    b, h, w, c = 1, 4, 4, 64
-    x = jnp.asarray(rng.standard_normal((b, h, w, c)), dtype=jnp.float32)
-    gamma = jnp.asarray(rng.random(c) + 0.5, dtype=jnp.float32)
-    beta = jnp.zeros((c,))
-
-    def loss_ref(x, gamma):
-        return jnp.sum(group_norm_swish_reference(x, gamma, beta, 32) ** 2)
-
-    def loss_kernel(x, gamma):
-        return jnp.sum(group_norm_swish(x, gamma, beta, 32, force="interpret") ** 2)
-
-    gr = jax.grad(loss_ref, argnums=(0, 1))(x, gamma)
-    gk = jax.grad(loss_kernel, argnums=(0, 1))(x, gamma)
-    for a, b2 in zip(gr, gk):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b2), rtol=2e-4, atol=2e-4)
+def _front_args(rng, b, c):
+    wk = jnp.asarray(rng.standard_normal((7, 7, c)) * 0.05, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(c) * 0.1, jnp.float32)
+    cond = jnp.asarray(rng.standard_normal((b, c)), jnp.float32)
+    gamma = jnp.asarray(rng.random(c) + 0.5, jnp.float32)
+    beta = jnp.asarray(rng.standard_normal(c) * 0.1, jnp.float32)
+    return wk, bias, cond, gamma, beta
 
 
 def test_convnext_front_kernel_matches_reference(rng):
-    from colddiff.ops.pallas.convnext_front import (
-        convnext_front,
-        convnext_front_reference,
-    )
-
     b, h, w, c = 2, 16, 16, 64
     x = jnp.asarray(rng.standard_normal((b, h, w, c)), dtype=jnp.float32)
-    wk = jnp.asarray(rng.standard_normal((7, 7, c)) * 0.05, dtype=jnp.float32)
-    bias = jnp.asarray(rng.standard_normal(c) * 0.1, dtype=jnp.float32)
-    cond = jnp.asarray(rng.standard_normal((b, c)), dtype=jnp.float32)
-    gamma = jnp.asarray(rng.random(c) + 0.5, dtype=jnp.float32)
-    beta = jnp.asarray(rng.standard_normal(c) * 0.1, dtype=jnp.float32)
+    wk, bias, cond, gamma, beta = _front_args(rng, b, c)
     for norm in (True, False):
         for cnd in (cond, None):
             want = convnext_front_reference(x, wk, bias, cnd, gamma, beta,
@@ -93,13 +41,46 @@ def test_convnext_front_kernel_matches_reference(rng):
                                        rtol=3e-5, atol=3e-5)
 
 
-def test_convnext_front_tiled_and_grads(rng):
-    from colddiff.ops.pallas.convnext_front import (
-        convnext_front,
-        convnext_front_reference,
-    )
+@pytest.mark.parametrize("shp", [(2, 16, 16, 8), (1, 8, 8, 64),
+                                 (1, 128, 16, 8), (2, 16, 8, 32)])
+def test_convnext_front_packed_shapes(rng, shp):
+    """Lane-packed layout across C=8..64 (masked-norm path) and H-tiling."""
+    b, h, w, c = shp
+    x = jnp.asarray(rng.standard_normal(shp), dtype=jnp.float32)
+    wk, bias, cond, gamma, beta = _front_args(rng, b, c)
+    for norm in (True, False):
+        want = convnext_front_reference(x, wk, bias, cond, gamma, beta,
+                                        norm=norm)
+        got = _pallas_forward_packed(x, wk, bias, cond, gamma, beta,
+                                     norm, 1e-5, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=3e-5, atol=3e-5)
 
-    b, h, w, c = 1, 64, 64, 8  # h > 32 -> exercises the 32-row tiling
+
+def test_convnext_front_packed_bf16_promotes_like_flax(rng):
+    """bf16 activations + fp32 params -> fp32 output, fp32-accurate taps."""
+    b, h, w, c = 1, 8, 8, 64
+    x32 = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+    x = x32.astype(jnp.bfloat16)
+    wk, bias, cond, gamma, beta = _front_args(rng, b, c)
+    got = _pallas_forward_packed(x, wk, bias, cond, gamma, beta,
+                                 True, 1e-5, interpret=True)
+    assert got.dtype == jnp.float32
+    want = convnext_front_reference(x32.astype(jnp.bfloat16).astype(
+        jnp.float32), wk, bias, cond, gamma, beta, norm=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_supported_gating():
+    assert pallas_supported(jnp.zeros((2, 128, 128, 64)))
+    assert not pallas_supported(jnp.zeros((2, 128, 128, 3)))    # stem
+    assert not pallas_supported(jnp.zeros((2, 64, 64, 128)))    # XLA wins
+    assert not pallas_supported(jnp.zeros((2, 64, 64, 96)))     # 96 !| 128
+
+
+def test_convnext_front_grads(rng):
+    b, h, w, c = 1, 64, 16, 8  # h > 32 -> exercises the static H-tiling
     x = jnp.asarray(rng.standard_normal((b, h, w, c)), dtype=jnp.float32)
     wk = jnp.asarray(rng.standard_normal((7, 7, c)) * 0.05, dtype=jnp.float32)
     bias = jnp.zeros((c,))
@@ -125,3 +106,41 @@ def test_convnext_front_tiled_and_grads(rng):
     for a, b2 in zip(gk, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b2), rtol=2e-4,
                                    atol=2e-4)
+
+
+# ---- plain-XLA layer math pinned against naive references ----
+
+
+def test_linear_attention_math(rng):
+    from colddiff.models.layers import linear_attention
+
+    g, n, d = 3, 64, 32
+    q = jnp.asarray(rng.standard_normal((g, n, d)), dtype=jnp.float32)
+    k = jnp.asarray(rng.standard_normal((g, n, d)), dtype=jnp.float32)
+    v = jnp.asarray(rng.standard_normal((g, n, d)), dtype=jnp.float32)
+    got = linear_attention(q, k, v, 0.17)
+    # naive: explicit softmax over tokens then double contraction
+    ks = np.asarray(jax.nn.softmax(k, axis=1))
+    ctx = np.einsum("gnd,gne->gde", ks, np.asarray(v))
+    want = np.einsum("gde,gnd->gne", ctx, np.asarray(q) * 0.17)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("swish", [True, False])
+def test_group_norm_swish_math(rng, swish):
+    from colddiff.models.layers import group_norm_swish
+
+    b, h, w, c, g = 2, 8, 8, 64, 32
+    x = jnp.asarray(rng.standard_normal((b, h, w, c)), dtype=jnp.float32)
+    gamma = jnp.asarray(rng.random(c) + 0.5, dtype=jnp.float32)
+    beta = jnp.asarray(rng.standard_normal(c) * 0.1, dtype=jnp.float32)
+    got = group_norm_swish(x, gamma, beta, g, swish=swish)
+    # naive per-(batch, group) moments
+    xn = np.asarray(x).reshape(b, h * w, g, c // g)
+    mean = xn.mean(axis=(1, 3), keepdims=True)
+    var = xn.var(axis=(1, 3), keepdims=True)
+    want = ((xn - mean) / np.sqrt(var + 1e-6)).reshape(b, h, w, c)
+    want = want * np.asarray(gamma) + np.asarray(beta)
+    if swish:
+        want = want / (1 + np.exp(-want))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
