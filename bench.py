@@ -65,8 +65,15 @@ def _force(out):
 
 
 def time_fn(fn, *args, runs=RUNS):
-    out = fn(*args)
-    _force(out)  # compile + warmup
+    for attempt in range(3):  # the remote-compile tunnel flakes occasionally
+        try:
+            out = fn(*args)
+            _force(out)  # compile + warmup
+            break
+        except Exception:
+            if attempt == 2:
+                raise
+            time.sleep(10)
     t0 = time.time()
     for _ in range(runs):
         out = fn(*args)
@@ -129,6 +136,8 @@ def main():
     rng = np.random.default_rng(0)
 
     def make_ours(bf16: bool):
+        from colddiff.utils import apply_in_chunks
+
         p = (
             jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), params)
             if bf16 else params
@@ -138,9 +147,14 @@ def main():
         def ours(p, img):
             start = prepare_start(d, img)
 
-            def fn(xt, t):
+            def apply_one(xt, t):
                 out = model.apply(p, xt.astype(jnp.bfloat16 if bf16 else xt.dtype), t)
                 return out.astype(jnp.float32)
+
+            def fn(xt, t):
+                # XLA schedules the 128px UNet poorly above B=16 (round-1
+                # B=64 cliff); chunking restores flat per-image throughput
+                return apply_in_chunks(apply_one, BATCH, xt, t)
 
             return sample(d, fn, start).img
 

@@ -43,6 +43,7 @@ class EvalHarness:
         results_folder: str = "./results_eval",
         fid_weights: Optional[str] = None,
         to_lab: bool = False,
+        model_chunk: int = 16,
     ):
         self.d = diffusion
         self.model = model
@@ -59,6 +60,15 @@ class EvalHarness:
         self.to_lab = to_lab
 
         def denoise(x, t):
+            # chunk big eval batches: XLA schedules the 128px UNet forward
+            # poorly above B~16 (round-1 B=64 cliff; docs/ROADMAP.md) and the
+            # manifold harness runs batches of 32
+            from ..utils import apply_in_chunks
+
+            if model_chunk and x.shape[0] > model_chunk:
+                return apply_in_chunks(
+                    lambda xc, tc: model.apply(params, xc, tc),
+                    model_chunk, x, t)
             return model.apply(params, x, t)
 
         self.denoise = denoise

@@ -38,8 +38,10 @@ Design:
 
 Dispatch: ON by default on TPU for supported shapes (128 % C == 0 -- level 0
 of both UNet families; C >= 128 stays on XLA, which is already near the
-bandwidth floor there: 183 us at (16,64,64,128) vs 519+ us for kernels).
-COLDDIFF_NO_PALLAS=1 disables.
+bandwidth floor there: 183 us at (16,64,64,128) vs 519+ us for kernels) when
+the promoted compute dtype is fp32.  Pure-bf16 models stay on XLA: its
+native-bf16 conv beats the kernel's fp32 taps there (measured -4% end-to-end
+with the kernel forced on in a bf16 UNet).  COLDDIFF_NO_PALLAS=1 disables.
 """
 
 from __future__ import annotations
@@ -275,6 +277,11 @@ def convnext_front(x, w, b, cond, gamma, beta, *, norm: bool = True,
         not os.environ.get("COLDDIFF_NO_PALLAS")
         and jax.default_backend() == "tpu"
         and pallas_supported(x)
+        # fp32 compute only: the kernel's fp32 taps beat XLA's fp32 conv
+        # (which detours through bf16 passes, 1.4e-2 error), but XLA's
+        # *native-bf16* conv beats the kernel when the whole model computes
+        # in bf16 (measured -4% end-to-end with the kernel forced on)
+        and jnp.promote_types(x.dtype, w.dtype) == jnp.float32
     )
     if force == "xla" or (force is None and not use_pallas):
         return convnext_front_reference(x, w, b, cond, gamma, beta, norm=norm,

@@ -7,7 +7,8 @@ through the axon tunnel cost ~26 ms, so K forwards run inside ONE jitted
 program (fori_loop with a data dependency through the image); per-call
 time = (t_K - t_1) / (K - 1).
 
-Run on the real TPU:  python scripts/profile_batch_cliff.py [bf16|fp32]
+Run on the real TPU:  python scripts/profile_batch_cliff.py [bf16|fp32]...
+Optionally set COLDDIFF_PROFILE_BATCHES=16,32 to restrict batch sizes.
 """
 
 import sys
@@ -60,7 +61,11 @@ def main():
                 return jax.lax.fori_loop(0, k, lambda i, y: fn(y, t), x)
             return run
 
-        for b in (16, 32, 64):
+        import os
+
+        batches = tuple(int(s) for s in os.environ.get(
+            "COLDDIFF_PROFILE_BATCHES", "16,32,64").split(","))
+        for b in batches:
             x = jnp.asarray(rng.standard_normal((b, IMG, IMG, 3)),
                             dtype=jnp.float32)
             t = jnp.zeros((b,), jnp.int32)

@@ -59,3 +59,43 @@ def test_sharded_training_matches_single_device(tmp_path):
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5), p1, p8
     )
+
+
+def test_sharded_sampling_matches_single_device():
+    """DP eval invariance: the full reverse-sampling loop over a batch
+    sharded across the 8-device mesh bit-matches the single-device run
+    (per-sample independence; XLA partitions the jitted scan)."""
+    from colddiff.diffusion import ColdDiffusion
+    from colddiff.models import UnetConvNext
+    from colddiff.operators import get_operator
+    from colddiff.sampling import prepare_start, sample
+
+    op = get_operator("blur", image_size=16, timesteps=4,
+                      blur_routine="Constant", kernel_size=3, kernel_std=1.0)
+    d = ColdDiffusion(op=op, image_size=16, channels=3,
+                      sampling_routine="x0_step_down")
+    model = UnetConvNext(dim=8, dim_mults=(1, 2), channels=3)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((8, 16, 16, 3)), jnp.float32)
+    params = model.init(jax.random.key(0), x, jnp.zeros((8,), jnp.int32))
+
+    @jax.jit
+    def run(x):
+        start = prepare_start(d, x)
+        return sample(d, lambda xt, t: model.apply(params, xt, t), start).img
+
+    single = jax.device_get(run(x))
+
+    mesh = make_mesh()
+    xs = shard_batch(x, mesh)
+    ps = replicate(params, mesh)
+
+    @jax.jit
+    def run_sharded(x, params):
+        start = prepare_start(d, x)
+        return sample(d, lambda xt, t: model.apply(params, xt, t), start).img
+
+    sharded = run_sharded(xs, ps)
+    assert len(sharded.addressable_shards) == 8  # stayed batch-sharded
+    np.testing.assert_allclose(jax.device_get(sharded), single,
+                               rtol=1e-5, atol=1e-5)
