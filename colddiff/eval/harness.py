@@ -351,6 +351,166 @@ class EvalHarness:
         xt = self.d.op.degrade_range(start, sample_at, T)
         return sample(self.d, self.denoise, xt, rng=samp_rng)
 
+    # ------------------------------------------------------------------ #
+    # Family-B vector-GMM blind generation + data-as-x_T sampling
+
+    def _fit_vector_gmm(self, dataset, siz, clusters, rng, max_fit):
+        """Fit a GMM to bilinear-downsized flattened *clean* dataset images
+        (the shared preamble of sample_as_a_vector_gmm*,
+        denoising_diffusion_pytorch.py:1091-1117)."""
+        n_fit = min(len(dataset), max_fit)
+        imgs = jnp.asarray(np.stack([dataset[i] for i in range(n_fit)]))
+        c = imgs.shape[-1]
+        low = jax.image.resize(
+            imgs, (n_fit, siz, siz, c), method="bilinear"
+        ).reshape(n_fit, -1)
+        return fit_gmm(low, clusters, rng), c
+
+    def _vector_gmm_starts(self, gmm, rng, num, siz, c):
+        """GMM draws -> [num, image_size, image_size, c] bilinear-upsized x_T
+        (denoising_diffusion_pytorch.py:1119-1125)."""
+        s = self.d.image_size
+        draws = sample_gmm(gmm, rng, num).reshape(num, siz, siz, c)
+        return jax.image.resize(draws, (num, s, s, c), method="bilinear")
+
+    def gmm_vector_samples(self, dataset, siz: int = 64, clusters: int = 10,
+                           num: int = 100, rng=None, max_fit: int = 2000,
+                           save: bool = True, traj_stride: int = 1):
+        """Blind generation via GMM over downsized clean train images
+        (sample_as_a_vector_gmm, denoising_diffusion_pytorch.py:1091-1158;
+        demixing :1080, defading-generation :1148): the upsized GMM draw is
+        x_T and the endpoint is estimated per reverse step (the reference's
+        Family-B all_sample always calls get_x2_bar_from_xt, :495 -- matched
+        here by x_end=None).  Saves the og grid + x0/xt trajectory GIFs."""
+        rng = rng if rng is not None else jax.random.key(0)
+        f_rng, s_rng, samp_rng = jax.random.split(rng, 3)
+        gmm, c = self._fit_vector_gmm(dataset, siz, clusters, f_rng, max_fit)
+        start = self._vector_gmm_starts(gmm, s_rng, num, siz, c)
+        res = all_sample(self.d, self.denoise, start, rng=samp_rng,
+                         traj_stride=traj_stride)
+        if save:
+            tag = f"{siz}-{clusters}-vec"
+            save_image_grid(self._post(start),
+                            self.results_folder / f"og-{tag}.png")
+            x0s = [self._post(f) for f in res.x0_trajectory]
+            xts = [self._post(f) for f in res.xt_trajectory]
+            save_gif(x0s + [self._post(res.img)],
+                     self.results_folder / f"Gif-{tag}-x0.gif", titles=True)
+            save_gif(xts + [self._post(res.img)],
+                     self.results_folder / f"Gif-{tag}-xt.gif", titles=True)
+        return res
+
+    def gmm_vector_samples_and_save(self, dataset, siz: int = 64,
+                                    clusters: int = 10, n_sample: int = 1000,
+                                    batch_size: int = 100, rng=None,
+                                    max_fit: int = 2000, out_dir=None) -> Path:
+        """PNG-dump variant for external FID: fit once, then draw/reverse in
+        batches and save each final reconstruction as sample-x0-<cnt>.png
+        (sample_as_a_vector_gmm_and_save, denoising_diffusion_pytorch.py:
+        1161-1213; the pycave-backed sample_as_a_vector_pytorch_gmm_and_save
+        :1215-1286 differs only in GMM backend -- one JAX EM serves both).
+        Output dir mirrors the reference's ``<results>_<siz>_<clusters>/``."""
+        rng = rng if rng is not None else jax.random.key(0)
+        f_rng, rng = jax.random.split(rng)
+        gmm, c = self._fit_vector_gmm(dataset, siz, clusters, f_rng, max_fit)
+        out = Path(out_dir) if out_dir is not None else (
+            self.results_folder.with_name(
+                f"{self.results_folder.name}_{siz}_{clusters}")
+        )
+        create_folder(out)
+        sample_jit = jax.jit(
+            lambda img, r: sample(self.d, self.denoise, img, rng=r).img
+        )
+        cnt = 0
+        while cnt < n_sample:
+            rng, d_rng, s_rng = jax.random.split(rng, 3)
+            start = self._vector_gmm_starts(gmm, d_rng, batch_size, siz, c)
+            imgs = self._post(sample_jit(start, s_rng))
+            for i in range(imgs.shape[0]):
+                if cnt >= n_sample:
+                    break
+                self._save_png(imgs[i], out / f"sample-x0-{cnt}.png")
+                cnt += 1
+        return out
+
+    def sample_from_data_save(self, dataset, start: int = 0,
+                              end: Optional[int] = 1000, batch_size: int = 32,
+                              rng=None, out_dir=None) -> Path:
+        """Reverse-sample clean dataset images treated directly as x_T and
+        dump the final reconstructions as individual PNGs
+        (sample_from_data_save, denoising_diffusion_pytorch.py:1362-1395;
+        demixing :1351, defading-generation :1419).  Keeps the reference's
+        slice semantics: images with start < idx <= end."""
+        rng = rng if rng is not None else jax.random.key(0)
+        last = len(dataset) - 1 if end is None else min(end, len(dataset) - 1)
+        idxs = range(start + 1, last + 1)
+        out = Path(out_dir) if out_dir is not None else (
+            self.results_folder / "sample_from_data")
+        create_folder(out)
+        sample_jit = jax.jit(
+            lambda img, r: sample(self.d, self.denoise, img, rng=r).img
+        )
+        cnt = 0
+        batch = []
+        def flush(batch, cnt, rng):
+            imgs = self._post(sample_jit(
+                jnp.asarray(np.stack(batch)), rng))
+            for i in range(imgs.shape[0]):
+                self._save_png(imgs[i], out / f"sample-x0-{cnt}.png")
+                cnt += 1
+            return cnt
+        for idx in idxs:
+            batch.append(self._pre(jnp.asarray(dataset[idx])))
+            if len(batch) == batch_size:
+                rng, s_rng = jax.random.split(rng)
+                cnt = flush(batch, cnt, s_rng)
+                batch = []
+        if batch:
+            # pad the ragged tail to the compiled batch size
+            n = len(batch)
+            batch = batch + [batch[-1]] * (batch_size - n)
+            rng, s_rng = jax.random.split(rng)
+            imgs = self._post(sample_jit(jnp.asarray(np.stack(batch)), s_rng))
+            for i in range(n):
+                self._save_png(imgs[i], out / f"sample-x0-{cnt}.png")
+                cnt += 1
+        return out
+
+    def test_from_data_save_results(self, dataset, num: Optional[int] = None,
+                                    batch_size: int = 32, rng=None) -> Path:
+        """Per-image PNG trees of original / degraded / direct-recon / final
+        reconstruction over the eval set (test_from_data_save_results,
+        defading_diffusion_gaussian.py:1146-1244; --test_type
+        test_save_images).  Folders mirror the reference's
+        ``<results>_{orig,blur,d_deblur,deblur}``."""
+        rng = rng if rng is not None else jax.random.key(0)
+        n = min(num or len(dataset), len(dataset))
+        dirs = {}
+        for tag in ("orig", "blur", "d_deblur", "deblur"):
+            d = self.results_folder.with_name(f"{self.results_folder.name}_{tag}")
+            create_folder(d)
+            dirs[tag] = d
+        cnt = 0
+        for lo in range(0, n, batch_size):
+            og = jnp.asarray(
+                np.stack([dataset[i] for i in range(lo, min(lo + batch_size, n))])
+            )
+            rng, b_rng = jax.random.split(rng)
+            start, x_end, op = self._degrade_start(self._pre(og), b_rng)
+            res = sample(self.d.replace(op=op), self.denoise, start,
+                         x_end=x_end, rng=b_rng)
+            rows = {
+                "orig": np.asarray(og),
+                "blur": self._post(res.xt),
+                "d_deblur": self._post(res.direct_recons),
+                "deblur": self._post(res.img),
+            }
+            for i in range(og.shape[0]):
+                for tag, imgs in rows.items():
+                    self._save_png(imgs[i], dirs[tag] / f"{cnt}.png")
+                cnt += 1
+        return self.results_folder
+
     def forward_and_backward(self, batch, rng=None, prefix: str = "fb"):
         """Forward degradation frames + reverse frames for figure strips
         (denoising_diffusion_pytorch.py:437-478; deblur :691-861)."""

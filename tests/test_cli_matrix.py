@@ -119,6 +119,45 @@ def test_cli_paper_figures_dispatch(tmp_path):
         assert (tmp_path / tt / artifact).exists()
 
 
+def test_cli_vector_gmm_and_alias_dispatch(tmp_path):
+    """The Family-B vector-GMM --test_type names and the reference-exact
+    aliases dispatch end-to-end; dead upstream names fail loudly."""
+    base = [
+        sys.executable, "-m", "colddiff.cli.main", "test",
+        "--degradation", "noise",
+        "--dataset", "synthetic", "--image_size", "16", "--time_steps", "3",
+        "--model", "UnetConvNext", "--dim", "8", "--batch_size", "4",
+        "--test_end", "5", "--gmm_size", "4", "--gmm_cluster", "2",
+    ]
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+
+    out = tmp_path / "savegmm"
+    r = subprocess.run(
+        base + ["--test_type", "train_distribution_save_gmm",
+                "--save_folder", str(out)],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    # reference dir naming: <results>_<siz>_<clusters> next to the results dir
+    dumps = list(out.parent.glob("**/sample-x0-*.png"))
+    assert len(dumps) == 5, dumps
+
+    out2 = tmp_path / "fromdata"
+    r = subprocess.run(
+        base + ["--test_type", "sample_from_train_data",
+                "--test_start", "0", "--save_folder", str(out2)],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    r = subprocess.run(
+        base + ["--test_type", "train_distribution_cov_vector",
+                "--save_folder", str(tmp_path / "dead")],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=600)
+    assert r.returncode != 0
+    assert "dead in the reference" in (r.stderr + r.stdout)
+
+
 def test_bf16_training_decreases_loss(tmp_path):
     from tests.test_train import make_trainer
 
