@@ -148,6 +148,17 @@ class Trainer:
     # ------------------------------------------------------------------ #
 
     def _denoise_fn(self, params, dropout_rng, train):
+        if self.bf16:
+            # mixed precision: fp32 master weights (params/opt state/EMA stay
+            # fp32), bf16 compute -- cast params AND inputs at apply time.
+            # Casting only the input is a no-op: flax layers with dtype=None
+            # promote bf16 activations back to the fp32 param dtype.
+            params = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a,
+                params,
+            )
+
         def fn(x, t):
             dtype = jnp.bfloat16 if self.bf16 else x.dtype
             out = self.model.apply(

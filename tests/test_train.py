@@ -121,3 +121,29 @@ def test_array_dataset_cifar_aug():
     ds = ArrayDataset(imgs, aug="cifar")
     x = ds[0]
     assert x.shape == (16, 16, 3) and x.min() >= -1.0 and x.max() <= 1.0
+
+
+def test_bf16_flag_actually_computes_in_bf16(tmp_path):
+    """Regression: casting only the input is a no-op (flax layers with
+    dtype=None promote activations back to the fp32 param dtype); bf16=True
+    must cast params at apply time so compute really runs in bf16, while the
+    master params stay fp32."""
+    import jax.numpy as jnp
+
+    tr32 = make_trainer(tmp_path / "a", bf16=False)
+    tr16 = make_trainer(tmp_path / "b", bf16=True)
+    params = jax.device_get(tr32.state.params)
+    tr16.state = tr16.state.replace(params=jax.device_get(tr16.state.params))
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 16, 16, 3)),
+                    jnp.float32)
+    t = jnp.zeros((2,), jnp.int32)
+    y32 = np.asarray(tr32._denoise_fn(params, None, train=False)(x, t))
+    y16 = np.asarray(tr16._denoise_fn(params, None, train=False)(x, t))
+    d = np.max(np.abs(y32 - y16))
+    assert d > 0.0, "bf16 path produced fp32-identical outputs (no-op cast)"
+    assert d < 0.1, f"bf16 path diverged from fp32: {d}"
+    # master params stay fp32
+    for leaf in jax.tree_util.tree_leaves(tr16.state.params):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert leaf.dtype == jnp.float32
