@@ -20,6 +20,8 @@ __all__ = [
     "ChannelLayerNorm",
     "ConvNextBlock",
     "LinearAttention",
+    "linear_attention",
+    "linear_attention_blockdiag",
     "SoftmaxAttention",
     "Downsample",
     "Upsample",
@@ -164,19 +166,42 @@ class ConvNextBlock(nn.Module):
 def linear_attention(q, k, v, scale: float):
     """softmax(k) over tokens -> context = k v^T -> out = context^T q
     (deblurring_diffusion_pytorch.py:180-186 torch einsum semantics).
-    q, k, v: [G, N, D] (G = batch*heads).  Two small batched matmuls the MXU
-    eats directly; a round-1 fused Pallas version measured slower than this
-    and was deleted (docs/ROADMAP.md round-2 notes)."""
+    q, k, v: [G, N, D] (G = batch*heads).  Naive per-head reference kept for
+    tests; the module below uses the lane-aligned block-diagonal form."""
     ks = jax.nn.softmax(k, axis=1)
     context = jnp.einsum("gnd,gne->gde", ks, v)
     return jnp.einsum("gde,gnd->gne", context, q * scale)
 
 
+def linear_attention_blockdiag(q, k, v, heads: int, scale: float):
+    """Same math as :func:`linear_attention`, but heads are never split.
+
+    q, k, v: [B, N, heads*D] in head-major channel order (h*D + d).  The
+    token softmax is per-channel, so it needs no head split; the per-head
+    context matrices are exactly the diagonal blocks of the full [C, C]
+    contraction, recovered with a static block mask.  Everything stays at
+    the native 128-lane width (C = 4*32 = 128 in this family) with zero
+    transposes -- measured 2.8x faster than the transposed per-head form at
+    the flagship level-0 shape (scripts/bench_attn.py: 1827 vs 5118 us,
+    B=16 @128px fp32).  FLOP overhead vs per-head is `heads`x on the two
+    context matmuls, which are N*C*C -- negligible next to the data movement
+    the transposes cost."""
+    c = q.shape[-1]
+    d = c // heads
+    i = jnp.arange(c)
+    mask = ((i[:, None] // d) == (i[None, :] // d)).astype(q.dtype)
+    ks = jax.nn.softmax(k, axis=1)
+    context = jnp.einsum("bnc,bne->bce", ks, v) * mask
+    return jnp.einsum("bce,bnc->bne", context, q * scale)
+
+
 class LinearAttention(nn.Module):
     """Linear attention over H*W tokens (deblurring_diffusion_pytorch.py:167-187).
 
-    softmax(k) over tokens -> context = k v^T -> out = context^T q.
-    O(N d^2) instead of O(N^2 d): two small batched matmuls, MXU-friendly.
+    softmax(k) over tokens -> context = k v^T -> out = context^T q,
+    O(N d^2) instead of O(N^2 d).  Runs in the block-diagonal no-transpose
+    form (see :func:`linear_attention_blockdiag`); the parameter tree is
+    identical to the per-head form, so checkpoints are unaffected.
     """
 
     heads: int = 4
@@ -188,18 +213,14 @@ class LinearAttention(nn.Module):
         n = hgt * wid
         hidden = self.heads * self.dim_head
         qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False, name="to_qkv")(x)
-        qkv = qkv.reshape(b, n, 3, self.heads, self.dim_head)
-        q, k, v = (
-            qkv[:, :, i].transpose(0, 2, 1, 3).reshape(b * self.heads, n, self.dim_head)
-            for i in range(3)
-        )
-        out = linear_attention(q, k, v, self.dim_head**-0.5)
-        out = (
-            out.reshape(b, self.heads, n, self.dim_head)
-            .transpose(0, 2, 1, 3)
-            .reshape(b, hgt, wid, hidden)
-        )
-        return nn.Conv(c, (1, 1), name="to_out")(out)
+        qkv = qkv.reshape(b, n, 3 * hidden)
+        # reference channel order is (qkv, head, d): q/k/v are contiguous
+        # thirds, and within each the layout is head-major as blockdiag needs.
+        q = qkv[..., :hidden]
+        k = qkv[..., hidden : 2 * hidden]
+        v = qkv[..., 2 * hidden :]
+        out = linear_attention_blockdiag(q, k, v, self.heads, self.dim_head**-0.5)
+        return nn.Conv(c, (1, 1), name="to_out")(out.reshape(b, hgt, wid, hidden))
 
 
 class SoftmaxAttention(nn.Module):

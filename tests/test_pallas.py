@@ -126,6 +126,25 @@ def test_linear_attention_math(rng):
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
 
 
+def test_linear_attention_blockdiag_matches_per_head(rng):
+    """The no-transpose block-diagonal form == the per-head reference."""
+    from colddiff.models.layers import linear_attention, linear_attention_blockdiag
+
+    b, n, heads, d = 2, 48, 4, 8
+    c = heads * d
+    q = jnp.asarray(rng.standard_normal((b, n, c)), dtype=jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, n, c)), dtype=jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, n, c)), dtype=jnp.float32)
+    got = linear_attention_blockdiag(q, k, v, heads, 0.31)
+    # per-head reference on head-major [b*heads, n, d] slices
+    split = lambda a: a.reshape(b, n, heads, d).transpose(0, 2, 1, 3).reshape(
+        b * heads, n, d)
+    want = linear_attention(split(q), split(k), split(v), 0.31)
+    want = np.asarray(want).reshape(b, heads, n, d).transpose(0, 2, 1, 3).reshape(
+        b, n, c)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
+
+
 @pytest.mark.parametrize("swish", [True, False])
 def test_group_norm_swish_math(rng, swish):
     from colddiff.models.layers import group_norm_swish
