@@ -74,6 +74,46 @@ def test_linear_conversion(rng):
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
 
 
+def test_linear_attention_block_matches_torch(rng):
+    """Full LinearAttention block vs a plain-torch transcription of the
+    reference forward (deblurring_diffusion_pytorch.py:167-187): 1x1 qkv conv
+    (no bias), per-head chunk, q*scale, softmax over tokens, the two context
+    einsums, 1x1 out conv.  Pins the block-diagonal rewrite numerically."""
+    from colddiff.models.layers import LinearAttention
+
+    dim, heads, dh = 16, 4, 32
+    hidden = heads * dh
+    x = rng.standard_normal((2, 8, 8, dim)).astype(np.float32)
+    wqkv = rng.standard_normal((hidden * 3, dim, 1, 1)).astype(np.float32)
+    wout = rng.standard_normal((dim, hidden, 1, 1)).astype(np.float32)
+    bout = rng.standard_normal((dim,)).astype(np.float32)
+
+    xt = nchw(x)
+    qkv = torch.nn.functional.conv2d(xt, torch.as_tensor(wqkv, dtype=torch.float64))
+    b, _, h, w = qkv.shape
+    q, k, v = (
+        t.reshape(b, heads, dh, h * w) for t in qkv.chunk(3, dim=1)
+    )
+    q = q * dh ** -0.5
+    k = k.softmax(dim=-1)
+    ctx = torch.einsum("bhdn,bhen->bhde", k, v)
+    out = torch.einsum("bhde,bhdn->bhen", ctx, q).reshape(b, hidden, h, w)
+    want = to_nhwc(
+        torch.nn.functional.conv2d(
+            out, torch.as_tensor(wout, dtype=torch.float64),
+            torch.as_tensor(bout, dtype=torch.float64),
+        )
+    )
+
+    mod = LinearAttention(heads=heads, dim_head=dh)
+    params = {"params": {
+        "to_qkv": {"kernel": convert_conv(wqkv)},
+        "to_out": {"kernel": convert_conv(wout), "bias": bout},
+    }}
+    got = mod.apply(jax.tree_util.tree_map(jnp.asarray, params), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
+
+
 def _synth_convnext_sd(dim, dim_mults, channels):
     """Synthesize a reference-layout state dict with correct torch shapes."""
     rng = np.random.default_rng(0)
