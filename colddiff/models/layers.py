@@ -22,6 +22,7 @@ __all__ = [
     "LinearAttention",
     "linear_attention",
     "linear_attention_blockdiag",
+    "linear_attention_folded",
     "SoftmaxAttention",
     "Downsample",
     "Upsample",
@@ -195,13 +196,66 @@ def linear_attention_blockdiag(q, k, v, heads: int, scale: float):
     return jnp.einsum("bce,bnc->bne", context, q * scale)
 
 
+def linear_attention_folded(xt, wqkv, wout, bout, heads: int, scale: float):
+    """Linear attention with the q-side algebra folded into the weights.
+
+    Same math as :func:`linear_attention_blockdiag` followed by the 1x1
+    out-projection, reassociated: q enters the output linearly
+    (out = (q*scale) @ ctx @ Wout), so instead of materializing q [B,N,hid]
+    and out [B,N,hid], fold W1_b = scale*Wq @ ctx_b per batch and apply it
+    as one matmul over tokens.  Only k and v are ever projected (2/3 of the
+    qkv matmul); when c <= hidden, Wout folds in too and the whole q-side is
+    a single [B,N,c] @ [c,cout] matmul.
+
+    xt: [B, N, c]; wqkv: [c, 3*hidden]; wout: [hidden, cout]; bout: [cout].
+    """
+    c = xt.shape[-1]
+    hidden = wqkv.shape[-1] // 3
+    d = hidden // heads
+    i = jnp.arange(hidden)
+    mask = ((i[:, None] // d) == (i[None, :] // d)).astype(xt.dtype)
+    # XLA fuses this folded graph to ~the bandwidth floor (471 us at the
+    # flagship level-0 shape, 11x the naive per-head form); a streaming
+    # Pallas online-softmax context kernel measured SLOWER (866 us) and was
+    # deleted per the no-losing-kernels policy (scripts/bench_attn.py).
+    kv = jnp.einsum("bnc,ck->bnk", xt, wqkv[:, hidden:])
+    ks = jax.nn.softmax(kv[..., :hidden], axis=1)
+    ctx = jnp.einsum("bnd,bne->bde", ks, kv[..., hidden:]) * mask
+    w1 = jnp.einsum("cd,bde->bce", wqkv[:, :hidden] * scale, ctx)
+    if c <= hidden:
+        return jnp.einsum("bnc,bcf->bnf", xt, w1 @ wout) + bout
+    return jnp.einsum("bne,ef->bnf", jnp.einsum("bnc,bce->bne", xt, w1), wout) + bout
+
+
+class _Conv1x1Params(nn.Module):
+    """Parameter container with nn.Conv-compatible tree (kernel[1,1,ci,co])."""
+
+    cin: int
+    cout: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(), (1, 1, self.cin, self.cout)
+        )
+        b = (
+            self.param("bias", nn.initializers.zeros, (self.cout,))
+            if self.use_bias else None
+        )
+        return k, b
+
+
 class LinearAttention(nn.Module):
     """Linear attention over H*W tokens (deblurring_diffusion_pytorch.py:167-187).
 
     softmax(k) over tokens -> context = k v^T -> out = context^T q,
-    O(N d^2) instead of O(N^2 d).  Runs in the block-diagonal no-transpose
-    form (see :func:`linear_attention_blockdiag`); the parameter tree is
-    identical to the per-head form, so checkpoints are unaffected.
+    O(N d^2) instead of O(N^2 d).  Runs in the folded no-transpose form
+    (:func:`linear_attention_folded`): heads are never split (token softmax
+    is per-channel; per-head contexts are the diagonal blocks of one [hid,
+    hid] contraction) and the q/out projections are folded into a per-batch
+    weight.  The parameter tree is identical to the naive per-head form, so
+    checkpoints are unaffected.
     """
 
     heads: int = 4
@@ -212,15 +266,13 @@ class LinearAttention(nn.Module):
         b, hgt, wid, c = x.shape
         n = hgt * wid
         hidden = self.heads * self.dim_head
-        qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False, name="to_qkv")(x)
-        qkv = qkv.reshape(b, n, 3 * hidden)
-        # reference channel order is (qkv, head, d): q/k/v are contiguous
-        # thirds, and within each the layout is head-major as blockdiag needs.
-        q = qkv[..., :hidden]
-        k = qkv[..., hidden : 2 * hidden]
-        v = qkv[..., 2 * hidden :]
-        out = linear_attention_blockdiag(q, k, v, self.heads, self.dim_head**-0.5)
-        return nn.Conv(c, (1, 1), name="to_out")(out.reshape(b, hgt, wid, hidden))
+        wqkv, _ = _Conv1x1Params(c, hidden * 3, use_bias=False, name="to_qkv")()
+        wout, bout = _Conv1x1Params(hidden, c, name="to_out")()
+        out = linear_attention_folded(
+            x.reshape(b, n, c), wqkv[0, 0], wout[0, 0], bout,
+            self.heads, self.dim_head**-0.5,
+        )
+        return out.reshape(b, hgt, wid, c)
 
 
 class SoftmaxAttention(nn.Module):
