@@ -213,14 +213,17 @@ class EvalHarness:
                                                    False) else "fallback")
         fid_key = "fid" if self.features.is_inception else "proxy_fid"
         out = {"extractor": extractor}
+        # the reference unnormalizes to [0,1] before RMSE/SSIM
+        # (deblurring_diffusion_pytorch.py:1619-1623, :1679-1699); FID takes
+        # the [-1,1] convention directly (the extractor owns normalization)
+        og01 = jnp.asarray((og + 1.0) * 0.5)
         for name, other in [("degraded", bl), ("sampled", sm), ("direct", dr)]:
             out[f"{fid_key}_{name}"] = calculate_fid_given_samples(
                 [og, other], features=self.features
             )
-            out[f"rmse_{name}"] = float(rmse(jnp.asarray(og), jnp.asarray(other)))
-            out[f"ssim_{name}"] = float(
-                ssim(jnp.asarray(og), jnp.asarray(other), data_range=1.0)
-            )
+            other01 = jnp.asarray((other + 1.0) * 0.5)
+            out[f"rmse_{name}"] = float(rmse(og01, other01))
+            out[f"ssim_{name}"] = float(ssim(og01, other01, data_range=1.0))
         out[f"{fid_key}_improvement"] = (
             out[f"{fid_key}_degraded"] - out[f"{fid_key}_sampled"]
         )

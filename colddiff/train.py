@@ -363,4 +363,8 @@ class Trainer:
         restored = ckpt.restore(Path(path).absolute(), item=template)
         self.step = int(restored["step"])
         self.state = replicate(restored["state"], self.mesh)
-        self.diffusion = self.diffusion.replace(op=restored["op"])
+        # Orbax restores numpy leaves; operator state must be device arrays
+        # (a numpy cum[t] gather with a traced t inside the sampling scan
+        # raises TracerArrayConversionError)
+        op = jax.tree_util.tree_map(jnp.asarray, restored["op"])
+        self.diffusion = self.diffusion.replace(op=op)

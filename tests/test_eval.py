@@ -95,6 +95,12 @@ def test_harness_test_from_data_and_manifold(tmp_path, rng):
                 "ssim_sampled", "proxy_fid_improvement"):
         assert np.isfinite(out[key])
     assert not any(k.startswith("fid_") for k in out)
+    # metrics run in the reference's [0,1] domain (deblurring...py:1619-1623):
+    # SSIM is then bounded by 1 and RMSE by 1 (regression: they were computed
+    # on [-1,1] data, doubling RMSE and pushing SSIM outside [-1, 1])
+    for name in ("degraded", "sampled", "direct"):
+        assert out[f"ssim_{name}"] <= 1.0 + 1e-5
+        assert 0.0 <= out[f"rmse_{name}"] <= 1.0
 
     p = h.paper_trajectory_strip(batch)
     assert p.exists()

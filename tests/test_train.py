@@ -61,6 +61,29 @@ def test_checkpoint_resume_roundtrip(tmp_path):
     )
 
 
+def test_restored_operator_samples_under_jit(tmp_path):
+    """Regression: Orbax restores numpy leaves; a numpy cum[t] gather with a
+    traced t inside the sampling scan raised TracerArrayConversionError when
+    the restored diffusion was closed over by a jitted sampler (the exact
+    CLI `test --load_path` path)."""
+    from colddiff.sampling import all_sample
+
+    tr = make_trainer(tmp_path, train_num_steps=0, save_and_sample_every=100)
+    tr.save()
+    tr2 = make_trainer(tmp_path, train_num_steps=0, save_and_sample_every=100,
+                       load_path=str(tmp_path / "results" / "model"))
+
+    d2, model, params = tr2.diffusion, tr2.model, tr2.state.params
+
+    @jax.jit
+    def run(img):
+        # d2 closed over, as EvalHarness does -- numpy op leaves would break
+        return all_sample(d2, lambda x, t: model.apply(params, x, t), img).img
+
+    out = run(jnp.zeros((2, 16, 16, 3)))
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
 def test_family_b_training_with_noise_endpoint(tmp_path):
     op = get_operator("noise", timesteps=6)
     d = ColdDiffusion(op=op, image_size=16, channels=3, sampling_routine="x0_step_down")
