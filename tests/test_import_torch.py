@@ -1,5 +1,6 @@
 """Checkpoint-importer tests: primitive conversions verified numerically vs
-torch; full-model mapping verified structurally against flax init shapes."""
+torch; full-model mapping verified structurally against flax init shapes
+(and numerically end-to-end in test_import_torch_full.py)."""
 
 import jax
 import jax.numpy as jnp
