@@ -170,3 +170,32 @@ def test_bf16_flag_actually_computes_in_bf16(tmp_path):
     for leaf in jax.tree_util.tree_leaves(tr16.state.params):
         if jnp.issubdtype(leaf.dtype, jnp.floating):
             assert leaf.dtype == jnp.float32
+
+
+def test_debug_nans_flag_raises_on_nonfinite_batch(tmp_path):
+    """The NaN sanitizer (SURVEY.md section 5): debug_nans=True must turn a
+    non-finite loss into an immediate FloatingPointError instead of silently
+    corrupting the run."""
+    import pytest
+
+    op = get_operator("blur", image_size=16, timesteps=4,
+                      blur_routine="Constant", kernel_size=3, kernel_std=1.0)
+    d = ColdDiffusion(op=op, image_size=16, channels=3,
+                      sampling_routine="x0_step_down")
+    model = UnetConvNext(dim=8, dim_mults=(1, 2), channels=3)
+    bad = np.full((16, 16, 16, 3), np.nan, np.float32)
+    try:
+        tr = Trainer(
+            d, model, ArrayDataset(bad),
+            train_batch_size=8, train_num_steps=1, gradient_accumulate_every=2,
+            save_and_sample_every=10**9, results_folder=str(tmp_path / "r"),
+            num_workers=1, debug_nans=True,
+        )
+        # the sanitizer may fire in batch prep or in the jitted step --
+        # either way the NaN must surface as an error, not a silent loss
+        with pytest.raises(FloatingPointError):
+            batch, batch2 = tr._next_superbatch()
+            _, loss = tr._train_step(tr.state, tr.diffusion, batch, batch2)
+            float(loss)
+    finally:
+        jax.config.update("jax_debug_nans", False)
