@@ -268,9 +268,18 @@ def run_test(args):
         train_num_steps=0, seed=args.seed,
     )
     params = jax.device_get(trainer.state.ema_params)
+    ds2 = None
+    if args.degradation == "mix":
+        if args.data_path_2 is None:
+            raise SystemExit("--data_path_2 required for mix/animorphosis")
+        from ..data.datasets import ImageFolderDataset
+
+        ds2 = ImageFolderDataset(args.data_path_2, image_size, aug="center",
+                                 seed=args.seed + 1)
     harness = EvalHarness(trainer.diffusion, model, params,
                           results_folder=_results_folder(args),
-                          fid_weights=args.fid_weights, to_lab=args.to_lab)
+                          fid_weights=args.fid_weights, to_lab=args.to_lab,
+                          endpoint_dataset=ds2)
 
     def first_batch(n=None):
         return np.stack([ds[i] for i in range(min(n or args.batch_size, len(ds)))])
@@ -309,7 +318,8 @@ def run_test(args):
             batch_size=args.batch_size,
         )
     elif tt == "test_sample_and_save_for_fid":
-        harness.sample_and_save_for_fid(batch_size=args.batch_size)
+        harness.sample_and_save_for_fid(batch_size=args.batch_size,
+                                        endpoint_dataset=ds2)
     elif tt in ("train_distribution_mean_blur_torch_gmm",
                 "train_distribution_mean_blur_torch_gmm_ablation"):
         res = harness.gmm_mean_samples(

@@ -44,10 +44,15 @@ class EvalHarness:
         fid_weights: Optional[str] = None,
         to_lab: bool = False,
         model_chunk: int = 16,
+        endpoint_dataset=None,
     ):
         self.d = diffusion
         self.model = model
         self.params = params
+        # Family-B demixing: degradation endpoints come from a second dataset
+        # (demixing_diffusion_pytorch.py:714-730); other ops synthesize their
+        # own (noise / constant color) or need none (Family A)
+        self.endpoint_dataset = endpoint_dataset
         self.results_folder = Path(results_folder)
         create_folder(self.results_folder)
         self._features = None
@@ -101,9 +106,26 @@ class EvalHarness:
             return np.asarray(lab2rgb(jnp.asarray(imgs)))
         return np.asarray(imgs)
 
+    def _sample_x_end(self, rng, og):
+        """Endpoint for Family-B ops: the operator's own synthesis when it
+        has one, else images from ``endpoint_dataset`` (animorphosis)."""
+        x_end = self.d.op.sample_x_end(rng, og)
+        if x_end is None and getattr(self.d.op, "requires_x_end", False):
+            if self.endpoint_dataset is None:
+                raise ValueError(
+                    "this degradation interpolates toward a second dataset; "
+                    "construct EvalHarness(endpoint_dataset=...) "
+                    "(CLI: --data_path_2)")
+            n = og.shape[0]
+            idx = np.asarray(
+                jax.random.randint(rng, (n,), 0, len(self.endpoint_dataset)))
+            x_end = self._pre(jnp.asarray(
+                np.stack([self.endpoint_dataset[int(i)] for i in idx])))
+        return x_end
+
     def _degrade_start(self, og, rng):
         end_rng, op_rng = jax.random.split(rng)
-        x_end = self.d.op.sample_x_end(end_rng, og)
+        x_end = self._sample_x_end(end_rng, og)
         op = self.d.op
         if hasattr(op, "randomize"):
             op = op.randomize(op_rng, og.shape[0])
@@ -173,7 +195,7 @@ class EvalHarness:
         og = jnp.asarray(batch)
         steps = t if t is not None else self.d.num_timesteps
         end_rng, op_rng = jax.random.split(rng)
-        x_end = self.d.op.sample_x_end(end_rng, og)
+        x_end = self._sample_x_end(end_rng, og)
         return prepare_start(self.d, og, steps, x_end=x_end, op_rng=op_rng)
 
     # ------------------------------------------------------------------ #
@@ -522,7 +544,7 @@ class EvalHarness:
         b = og.shape[0]
         T = self.d.num_timesteps
         end_rng, _ = jax.random.split(rng)
-        x_end = self.d.op.sample_x_end(end_rng, og)
+        x_end = self._sample_x_end(end_rng, og)
         # forward trajectory: D(og, n) for every level
         fwd = [np.asarray(og)]
         for n in range(1, T + 1):
@@ -688,7 +710,7 @@ class EvalHarness:
         b = og.shape[0]
         T = self.d.num_timesteps
         end_rng, _ = jax.random.split(rng)
-        x_end = self.d.op.sample_x_end(end_rng, og)
+        x_end = self._sample_x_end(end_rng, og)
         fwd = [np.asarray(og)] + [
             np.asarray(self.d.op.degrade(og, jnp.full((b,), n), x_end=x_end,
                                          og=og))

@@ -231,9 +231,13 @@ class Trainer:
             loss,
         )
 
-    def _sample_impl(self, ema_params, d, og_img, t: Optional[int], rng):
+    def _sample_impl(self, ema_params, d, og_img, t: Optional[int], rng,
+                     x_end=None):
         end_rng, samp_rng = jax.random.split(rng)
-        x_end = d.op.sample_x_end(end_rng, og_img)
+        if x_end is None:
+            # Family-B demixing endpoints come from the second dataset and are
+            # passed in by snapshot(); ops that own their endpoint synthesize
+            x_end = d.op.sample_x_end(end_rng, og_img)
         start = prepare_start(d, og_img, t, x_end=x_end)
         fn = self._denoise_fn(ema_params, None, train=False)
         res = sample(d, fn, start, t, x_end=x_end, rng=samp_rng)
@@ -308,13 +312,18 @@ class Trainer:
 
     def snapshot(self, milestone: int, batch_size: Optional[int] = None):
         """EMA sample grids, reference Trainer.train() (:1206-1228)."""
-        og_rgb = np.stack(
-            [next(self.dl) for _ in range(1)]
-        )[0][: batch_size or min(self.batch_size, 36)]
+        n = batch_size or min(self.batch_size, 36)
+        og_rgb = np.stack([next(self.dl) for _ in range(1)])[0][:n]
         og = self._to_model_space(og_rgb)
+        x_end = None
+        if self.dl2 is not None:
+            # demixing: endpoint images from dataset 2, like the reference's
+            # periodic sample (demixing_diffusion_pytorch.py:714-730)
+            x_end = self._to_model_space(
+                np.stack([next(self.dl2) for _ in range(1)])[0][:n])
         res = self._sample_fn(
             self.state.ema_params, self.diffusion, og, None,
-            jax.random.key(self.step),
+            jax.random.key(self.step), x_end,
         )
 
         def to_rgb(imgs):

@@ -61,8 +61,8 @@ def test_cli_mix_two_datasets(tmp_path):
         "--data_path_2", str(folder2),
         "--image_size", "16", "--time_steps", "3",
         "--model", "UnetConvNext", "--dim", "8",
-        "--batch_size", "8", "--train_steps", "1", "--grad_accum", "1",
-        "--save_and_sample_every", "100",
+        "--batch_size", "8", "--train_steps", "2", "--grad_accum", "1",
+        "--save_and_sample_every", "2",
         "--save_folder", str(tmp_path / "out"),
     ]
     env = dict(os.environ)
@@ -71,6 +71,22 @@ def test_cli_mix_two_datasets(tmp_path):
     r = subprocess.run(cmd, capture_output=True, text=True, env=env,
                        cwd="/root/repo", timeout=600)
     assert r.returncode == 0, r.stderr[-2000:]
+    # the periodic snapshot must sample with dataset-2 endpoints (the
+    # Family-B sample path used to assert without them)
+    assert (tmp_path / "out" / "sample-1.png").exists()
+
+    # and the eval harness must source endpoints from --data_path_2 too
+    r = subprocess.run(
+        [sys.executable, "-m", "colddiff.cli.main", "test",
+         "--degradation", "mix", "--dataset", "synthetic",
+         "--data_path_2", str(folder2),
+         "--image_size", "16", "--time_steps", "3",
+         "--model", "UnetConvNext", "--dim", "8", "--batch_size", "4",
+         "--test_type", "test_data", "--save_folder", str(tmp_path / "eval")],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert list((tmp_path / "eval").glob("*.png"))
 
 
 def test_cli_to_lab_decolor_train(tmp_path):
@@ -165,3 +181,36 @@ def test_bf16_training_decreases_loss(tmp_path):
                       bf16=True)
     tr.train(log_every=10)
     assert tr.step == 1
+
+
+def test_cli_train_then_test_from_checkpoint(tmp_path):
+    """Full user round trip: train + checkpoint via the CLI, then run the
+    eval harness from that checkpoint with ``test --load_path`` (the path
+    that broke when Orbax restored numpy leaves into the operator pytree)."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    base = [
+        "--degradation", "blur", "--blur_size", "3", "--blur_std", "1.0",
+        "--blur_routine", "Constant",
+        "--dataset", "synthetic", "--image_size", "16", "--time_steps", "3",
+        "--model", "UnetConvNext", "--dim", "8",
+    ]
+    res = tmp_path / "results"
+    r = subprocess.run(
+        [sys.executable, "-m", "colddiff.cli.main", "train", *base,
+         "--batch_size", "8", "--train_steps", "2", "--grad_accum", "1",
+         "--save_and_sample_every", "2", "--save_folder", str(res)],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    ckpt = res / "model"
+    assert ckpt.exists()
+
+    out = tmp_path / "eval"
+    r = subprocess.run(
+        [sys.executable, "-m", "colddiff.cli.main", "test", *base,
+         "--batch_size", "4", "--test_type", "test_data", "--load_path", str(ckpt),
+         "--save_folder", str(out)],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert list(out.glob("*.png")), "test_from_data wrote no grids"
