@@ -131,7 +131,10 @@ def make_naive(model, params, t_steps):
 
 def main():
     from colddiff.sampling import prepare_start, sample
+    from colddiff.utils import enable_compilation_cache
 
+    # reruns of the same bench skip the minutes-long remote compiles
+    enable_compilation_cache()
     d, model, params = build()
     rng = np.random.default_rng(0)
 

@@ -394,7 +394,13 @@ def run_test(args):
 
 
 def main(argv=None):
+    from ..utils import enable_compilation_cache
+
     args = build_parser().parse_args(argv)
+    # persistent XLA compilation cache: the T=200 fused-scan samplers take
+    # minutes to compile on TPU; later runs of the same program start in
+    # seconds (COLDDIFF_NO_COMPILATION_CACHE=1 disables)
+    enable_compilation_cache()
     if args.command == "train":
         run_train(args)
     else:

@@ -19,6 +19,7 @@ __all__ = [
     "add_title_bar",
     "save_gif",
     "create_folder",
+    "enable_compilation_cache",
 ]
 
 
@@ -129,3 +130,46 @@ def save_gif(frames: list[np.ndarray], path: str | os.PathLike, fps: int = 5,
 
 def create_folder(path: str | os.PathLike) -> None:
     Path(path).mkdir(parents=True, exist_ok=True)
+
+
+def enable_compilation_cache(cache_dir: str | os.PathLike | None = None,
+                             tpu_only: bool = True) -> str | None:
+    """Point JAX's persistent compilation cache at a colddiff-owned directory.
+
+    The flagship T=200 fused-scan samplers compile for minutes on TPU (this
+    container tunnels compiles to a remote service); the persistent cache
+    makes every later process reusing the same program start in seconds
+    (verified working through the axon tunnel: second-process compile 2x+
+    faster, cache entries written).  Called from the CLI entry point and
+    bench.py -- never on library import, so embedding programs keep full
+    control.
+
+    Resolution order: explicit ``cache_dir`` arg > JAX_COMPILATION_CACHE_DIR
+    env (left untouched) > an already-configured jax setting (left
+    untouched) > ``$COLDDIFF_CACHE_DIR`` > ``~/.cache/colddiff/xla``.
+    Set ``COLDDIFF_NO_COMPILATION_CACHE=1`` to disable.  Returns the active
+    cache dir, or None when disabled/externally managed.
+
+    ``tpu_only`` (default): no-op on non-TPU backends -- XLA:CPU cache
+    entries are AOT-compiled for the exact host machine features and reload
+    with SIGILL-risk warnings on any other host, while CPU compiles are fast
+    anyway; the payoff is the TPU path.
+    """
+    import jax
+
+    if os.environ.get("COLDDIFF_NO_COMPILATION_CACHE"):
+        return None
+    if tpu_only and jax.default_backend() != "tpu":
+        return None
+    if cache_dir is None:
+        if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+            return os.environ["JAX_COMPILATION_CACHE_DIR"]
+        if jax.config.jax_compilation_cache_dir:
+            return jax.config.jax_compilation_cache_dir
+        cache_dir = os.environ.get("COLDDIFF_CACHE_DIR") or (
+            Path.home() / ".cache" / "colddiff" / "xla"
+        )
+    cache_dir = str(cache_dir)
+    Path(cache_dir).mkdir(parents=True, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    return cache_dir

@@ -126,3 +126,48 @@ def test_gradient_norm_sampling_branch(rng):
     # model predicting zero gradient leaves the image unchanged
     res = sample(d, lambda xt, tt: jnp.zeros_like(xt), x)
     np.testing.assert_allclose(np.asarray(res.img), np.asarray(x), atol=1e-6)
+
+
+def test_enable_compilation_cache_resolution():
+    """Persistent-cache config helper: explicit dir wins, external settings
+    are left untouched, and the kill switch disables."""
+    import os
+
+    import jax
+
+    from colddiff.utils import enable_compilation_cache
+
+    orig = jax.config.jax_compilation_cache_dir
+    try:
+        # explicit dir: configured + created
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as tmp:
+            # CPU backend in tests: the tpu_only gate must no-op first
+            assert enable_compilation_cache(os.path.join(tmp, "no")) is None
+            assert not os.path.exists(os.path.join(tmp, "no"))
+
+            target = os.path.join(tmp, "xla")
+            got = enable_compilation_cache(target, tpu_only=False)
+            assert got == target and os.path.isdir(target)
+            assert jax.config.jax_compilation_cache_dir == target
+
+            # env-managed: untouched, env value reported
+            os.environ["JAX_COMPILATION_CACHE_DIR"] = "/elsewhere"
+            try:
+                assert enable_compilation_cache(tpu_only=False) == "/elsewhere"
+                assert jax.config.jax_compilation_cache_dir == target
+            finally:
+                del os.environ["JAX_COMPILATION_CACHE_DIR"]
+
+            # already configured in-process: left as-is
+            assert enable_compilation_cache(tpu_only=False) == target
+
+            # kill switch
+            os.environ["COLDDIFF_NO_COMPILATION_CACHE"] = "1"
+            try:
+                assert enable_compilation_cache(target, tpu_only=False) is None
+            finally:
+                del os.environ["COLDDIFF_NO_COMPILATION_CACHE"]
+    finally:
+        jax.config.update("jax_compilation_cache_dir", orig)
