@@ -68,6 +68,10 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--seed", "--order_seed", dest="seed", type=int,
                         default=0)
         sp.add_argument("--bf16", action="store_true")
+        sp.add_argument("--param_sharding", default="replicated",
+                        choices=["replicated", "fsdp"],
+                        help="fsdp: ZeRO-3-style param/EMA/opt-state sharding "
+                             "over the data mesh (beyond-reference scaling)")
         # blur
         sp.add_argument("--blur_routine", default="Incremental")
         sp.add_argument("--blur_size", type=int, default=3, dest="blur_size")
@@ -250,6 +254,7 @@ def run_train(args):
         results_folder=_results_folder(args), load_path=args.load_path,
         auto_resume=args.resume_training,
         bf16=args.bf16, seed=args.seed, to_lab=args.to_lab,
+        param_sharding=args.param_sharding,
     )
     trainer.train()
 

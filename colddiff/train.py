@@ -30,7 +30,8 @@ import optax
 from flax import struct
 
 from .diffusion import ColdDiffusion
-from .parallel import make_mesh, replicate, shard_batch
+from .parallel import (make_mesh, replicated_sharding, shard_batch,
+                       shard_state)
 from .sampling import prepare_start, sample
 from .utils import create_folder, cycle, ema_update, save_image_grid
 
@@ -73,6 +74,9 @@ class Trainer:
         remat: bool = False,
         auto_resume: bool = False,
         to_lab: bool = False,
+        param_sharding: str = "replicated",
+        fsdp_min_size: int = 2 ** 14,
+        mesh=None,
     ):
         from .data.datasets import DataLoader
 
@@ -113,7 +117,10 @@ class Trainer:
             else None
         )
 
-        self.mesh = make_mesh()
+        # the step functions are jitted against this mesh's shardings at
+        # construction -- pass ``mesh`` to train on a device subset (tests,
+        # dryruns) rather than re-pinning self.mesh afterwards
+        self.mesh = mesh if mesh is not None else make_mesh()
         self.tx = optax.adam(train_lr)
 
         rng = jax.random.key(seed)
@@ -134,7 +141,12 @@ class Trainer:
             opt_state=self.tx.init(params),
             rng=state_rng,
         )
-        self.state = replicate(self.state, self.mesh)
+        # "replicated" (reference-parity default) or "fsdp": ZeRO-3-style
+        # sharding of params/EMA/Adam moments over the data axis -- per-chip
+        # state memory drops ~N_devices-fold, XLA inserts the weight
+        # all-gathers / gradient reduce-scatters over ICI (parallel/mesh.py)
+        self.state, self._state_sharding = shard_state(
+            self.state, self.mesh, param_sharding, min_size=fsdp_min_size)
         self.step = 0
         if load_path is None and auto_resume and (self.results_folder / "model").exists():
             # elastic recovery: resume from the latest checkpoint in place
@@ -142,7 +154,14 @@ class Trainer:
         if load_path is not None:
             self.load(load_path)
 
-        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        # out_shardings pin the returned state to the same placement as the
+        # input state (otherwise the partitioner may replicate fsdp-sharded
+        # params on output and silently defeat the sharding)
+        self._train_step = jax.jit(
+            self._train_step_impl, donate_argnums=(0,),
+            out_shardings=(self._state_sharding,
+                           replicated_sharding(self.mesh)),
+        )
         self._sample_fn = jax.jit(self._sample_impl, static_argnums=(3,))
 
     # ------------------------------------------------------------------ #
@@ -371,7 +390,7 @@ class Trainer:
         }
         restored = ckpt.restore(Path(path).absolute(), item=template)
         self.step = int(restored["step"])
-        self.state = replicate(restored["state"], self.mesh)
+        self.state = jax.device_put(restored["state"], self._state_sharding)
         # Orbax restores numpy leaves; operator state must be device arrays
         # (a numpy cum[t] gather with a traced t inside the sampling scan
         # raises TracerArrayConversionError)

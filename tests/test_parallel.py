@@ -46,9 +46,8 @@ def test_sharded_training_matches_single_device(tmp_path):
         ds = SyntheticDataset(16, 3, length=32)
         tr = Trainer(d, model, ds, train_batch_size=8, train_num_steps=1,
                      gradient_accumulate_every=1, save_and_sample_every=10**9,
-                     results_folder=str(folder), num_workers=1, seed=0)
-        tr.mesh = make_mesh(jax.devices()[:n_dev])
-        tr.state = replicate(jax.device_get(tr.state), tr.mesh)
+                     results_folder=str(folder), num_workers=1, seed=0,
+                     mesh=make_mesh(jax.devices()[:n_dev]))
         batch, _ = tr._next_superbatch()
         state, loss = tr._train_step(tr.state, tr.diffusion, batch, None)
         return float(loss), jax.device_get(state.params)
@@ -99,3 +98,37 @@ def test_sharded_sampling_matches_single_device():
     assert len(sharded.addressable_shards) == 8  # stayed batch-sharded
     np.testing.assert_allclose(jax.device_get(sharded), single,
                                rtol=1e-5, atol=1e-5)
+
+
+def test_fsdp_param_sharding_matches_replicated(tmp_path):
+    """ZeRO-3-style param/opt/EMA sharding (param_sharding="fsdp") must
+    produce the same training result as the replicated default -- XLA
+    inserts the weight all-gathers and gradient reduce-scatters from the
+    sharding annotations alone."""
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+
+    from tests.test_train import make_trainer
+
+    tr_a = make_trainer(tmp_path / "a", train_num_steps=2,
+                        save_and_sample_every=100)
+    tr_b = make_trainer(tmp_path / "b", train_num_steps=2,
+                        save_and_sample_every=100,
+                        param_sharding="fsdp", fsdp_min_size=1)
+    # something must actually be sharded (8-divisible channel axes exist)
+    specs = [s.spec for s in jax.tree_util.tree_leaves(tr_b._state_sharding)]
+    assert any(spec != P() for spec in specs), "fsdp sharded nothing"
+
+    tr_a.train(log_every=10)
+    tr_b.train(log_every=10)
+    pa = jax.device_get(tr_a.state.params)
+    pb = jax.device_get(tr_b.state.params)
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_allclose(x, y, rtol=1e-5, atol=1e-6),
+        pa, pb)
+    # EMA and opt state shard along for the ride
+    ea = jax.device_get(tr_a.state.ema_params)
+    eb = jax.device_get(tr_b.state.ema_params)
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_allclose(x, y, rtol=1e-5, atol=1e-6),
+        ea, eb)
