@@ -79,8 +79,13 @@ def main():
     print(f"{tag} attn ablated     : {no_attn*1e3:7.2f} ms "
           f"(attn+proj ~ {(base-no_attn)*1e3:.2f} ms)", flush=True)
 
-    # fronts -> plain depthwise conv without norm/cond (isolate front cost)
-    import colddiff.ops.pallas.convnext_front as F
+    # fronts -> identity (isolate front cost).  NB: the package __init__
+    # re-exports the function under the same name, shadowing the submodule
+    # attribute -- fetch the real module from sys.modules
+    import importlib
+
+    importlib.import_module("colddiff.ops.pallas.convnext_front")
+    F = sys.modules["colddiff.ops.pallas.convnext_front"]
     orig_front = F.convnext_front
     F.convnext_front = lambda xx, w, b, cond, g, bt, **kw: xx
     try:
