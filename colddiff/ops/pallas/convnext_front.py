@@ -229,15 +229,73 @@ def pallas_supported(x) -> bool:
     return vmem < 48 * 1024 * 1024
 
 
+def _batch_only_sharding(sharding, ndim: int):
+    """Project a NamedSharding down to its batch (dim-0) component."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    spec = sharding.spec
+    b = spec[0] if len(spec) > 0 else None
+    return NamedSharding(sharding.mesh, P(*((b,) + (None,) * (ndim - 1))))
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_forward(norm: bool, eps: float, interpret: bool):
+    """SPMD-partitionable wrapper around the packed forward.
+
+    The kernel grids over images, so under a batch-sharded jit each device
+    can run its local shard with the weights replicated.  Without this rule
+    the SPMD partitioner treats the Mosaic custom call as unpartitionable and
+    gathers the full batch onto every chip at each block front (correct but
+    defeats data parallelism).  The shardy ``sharding_rule`` shares the batch
+    factor between x, cond, and the output and marks every other dimension
+    replication-required; the ``partition`` callback serves the GSPMD path.
+    Multi-device correctness is pinned on the virtual CPU mesh in
+    tests/test_pallas.py (interpret mode runs through this same wrapper).
+    """
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def fwd(x, w, b, cond, gamma, beta):
+        return _pallas_forward_packed(x, w, b, cond, gamma, beta, norm, eps,
+                                      interpret)
+
+    cp = custom_partitioning(fwd)
+
+    def partition(mesh, arg_shapes, result_shape):
+        x_sh = arg_shapes[0].sharding
+        xs = _batch_only_sharding(x_sh, 4)
+        rep = NamedSharding(x_sh.mesh, P())
+        args = (xs, rep, rep, _batch_only_sharding(x_sh, 2), rep, rep)
+        return mesh, fwd, xs, args
+
+    def infer(mesh, arg_shapes, result_shape):
+        return _batch_only_sharding(arg_shapes[0].sharding, 4)
+
+    cp.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule="b h w c, kh kw kc, dc, b cc, gc, bc -> b h w c",
+        need_replication_factors=(
+            "h", "w", "c", "kh", "kw", "kc", "dc", "cc", "gc", "bc"
+        ),
+    )
+    return cp
+
+
+def _run_forward(x, w, b, cond, gamma, beta, norm, eps, interpret):
+    if cond is None:
+        cond = jnp.zeros((x.shape[0], x.shape[-1]), x.dtype)
+    return _partitioned_forward(norm, eps, interpret)(x, w, b, cond, gamma,
+                                                      beta)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
 def _front(x, w, b, cond, gamma, beta, norm, eps, interpret):
-    return _pallas_forward_packed(x, w, b, cond, gamma, beta, norm, eps,
-                                  interpret)
+    return _run_forward(x, w, b, cond, gamma, beta, norm, eps, interpret)
 
 
 def _front_fwd(x, w, b, cond, gamma, beta, norm, eps, interpret):
-    y = _pallas_forward_packed(x, w, b, cond, gamma, beta, norm, eps,
-                               interpret)
+    y = _run_forward(x, w, b, cond, gamma, beta, norm, eps, interpret)
     return y, (x, w, b, cond, gamma, beta)
 
 

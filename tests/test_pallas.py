@@ -108,6 +108,43 @@ def test_convnext_front_grads(rng):
                                    atol=2e-4)
 
 
+def test_convnext_front_partitions_over_batch_mesh(rng):
+    """The kernel's custom_partitioning rule: under a batch-sharded jit each
+    device runs its local shard -- no all-gather of the activations around
+    the Mosaic call (interpret mode routes through the same wrapper, so the
+    rule itself is what the 8-device mesh exercises here)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    b, h, w, c = 8, 16, 16, 8
+    x = jnp.asarray(rng.standard_normal((b, h, w, c)), dtype=jnp.float32)
+    wk, bias, cond, gamma, beta = _front_args(rng, b, c)
+    want = convnext_front_reference(x, wk, bias, cond, gamma, beta)
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    conds = jax.device_put(cond, NamedSharding(mesh, P("data")))
+
+    f = jax.jit(lambda x, cnd: convnext_front(x, wk, bias, cnd, gamma, beta,
+                                              force="interpret"))
+    out = f(xs, conds)
+    assert out.sharding.spec == P("data")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=3e-5,
+                               atol=3e-5)
+    hlo = f.lower(xs, conds).compile().as_text()
+    assert "all-gather" not in hlo, "kernel batch shards must stay local"
+
+    # gradients flow across the custom_partitioning + custom_vjp boundary
+    # with the batch still sharded
+    g = jax.jit(jax.grad(lambda x, cnd: jnp.sum(
+        convnext_front(x, wk, bias, cnd, gamma, beta, force="interpret") ** 2
+    )))(xs, conds)
+    gr = jax.grad(lambda x, cnd: jnp.sum(
+        convnext_front_reference(x, wk, bias, cnd, gamma, beta) ** 2
+    ))(x, cond)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr), rtol=2e-4,
+                               atol=2e-4)
+
+
 # ---- plain-XLA layer math pinned against naive references ----
 
 
