@@ -16,14 +16,60 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "data_sharding",
-           "replicated_sharding", "fsdp_sharding", "shard_state"]
+__all__ = ["make_mesh", "make_mesh_2d", "shard_batch", "replicate",
+           "data_sharding", "replicated_sharding", "fsdp_sharding",
+           "shard_state", "image_sharding", "shard_images"]
 
 
 def make_mesh(devices: Optional[list] = None, axis_name: str = "data") -> Mesh:
     if devices is None:
         devices = jax.devices()
     return Mesh(np.asarray(devices), (axis_name,))
+
+
+def make_mesh_2d(data: int, space: int, devices: Optional[list] = None,
+                 axis_names=("data", "space")) -> Mesh:
+    """2-D ``Mesh(('data', 'space'))`` for batch x spatial sharding.
+
+    Beyond the reference's DataParallel: the ``space`` axis shards image
+    *rows* (NHWC dim 1) so a latency-critical low-batch sampling run can use
+    more chips than it has images (see :func:`image_sharding`).
+    """
+    if devices is None:
+        devices = jax.devices()
+    if data * space != len(devices):
+        raise ValueError(
+            f"mesh {data}x{space} needs {data * space} devices, "
+            f"have {len(devices)}"
+        )
+    return Mesh(np.asarray(devices).reshape(data, space), axis_names)
+
+
+def image_sharding(mesh: Mesh, data_axis: str = "data",
+                   space_axis: str = "space") -> NamedSharding:
+    """NHWC sharding ``P('data', 'space')``: batch over chips AND image rows
+    over chips.
+
+    With this placement on a :func:`make_mesh_2d` mesh and replicated params,
+    ``jax.jit`` of the sampler partitions the whole UNet spatially: XLA
+    inserts halo exchanges for the convolutions and collectives for the
+    global contractions (attention softmax over tokens, the [H, H]
+    degradation matmuls) -- all riding ICI.  This is the scaling axis for
+    serving latency at batch sizes smaller than the chip count, where pure
+    data parallelism runs out of images to shard.
+
+    Perf note: the Pallas ConvNeXt front declares batch-only partitioning
+    (its custom_partitioning rule replicates H), so a spatially-sharded run
+    regathers rows around it -- set ``COLDDIFF_NO_PALLAS=1`` for pure-SP
+    runs so the convs stay on XLA's halo-exchange path end to end.
+    """
+    return NamedSharding(mesh, P(data_axis, space_axis))
+
+
+def shard_images(batch, mesh: Mesh, data_axis: str = "data",
+                 space_axis: str = "space"):
+    """Place an NHWC host batch onto a 2-D mesh, batch+rows sharded."""
+    return jax.device_put(batch, image_sharding(mesh, data_axis, space_axis))
 
 
 def data_sharding(mesh: Mesh, axis_name: str = "data", batch_dim: int = 0) -> NamedSharding:
@@ -37,13 +83,54 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis_name: str = "data", batch_dim: int = 0):
-    """Place a host batch onto the mesh, sharded along ``batch_dim``."""
-    return jax.device_put(batch, data_sharding(mesh, axis_name, batch_dim))
+    """Place a host batch onto the mesh, sharded along ``batch_dim``.
+
+    Single-process: a plain ``device_put``.  Multi-process (after
+    ``jax.distributed.initialize`` -- see :mod:`colddiff.parallel.distributed`):
+    ``batch`` is this process's *local* slice of the global batch (the slice
+    covering its addressable shards, i.e. contiguous along ``batch_dim`` in
+    process order) and the returned global array spans all hosts.
+    """
+    sharding = data_sharding(mesh, axis_name, batch_dim)
+    if jax.process_count() == 1:
+        return jax.device_put(batch, sharding)
+    return jax.tree_util.tree_map(
+        lambda a: jax.make_array_from_process_local_data(sharding, np.asarray(a)),
+        batch,
+    )
+
+
+def _put_from_full(value, sharding):
+    """Place a host value every process holds in full onto a (possibly
+    multi-host) sharding: each process contributes the shards it owns."""
+    if jax.process_count() == 1:
+        return jax.device_put(value, sharding)
+    import jax.numpy as jnp
+
+    if jnp.issubdtype(getattr(value, "dtype", None), jax.dtypes.prng_key):
+        # typed PRNG keys: place the raw key data, re-wrap globally
+        impl = jax.random.key_impl(value)
+        data = np.asarray(jax.random.key_data(value))
+        placed = jax.make_array_from_callback(
+            data.shape, sharding, lambda idx: data[idx]
+        )
+        return jax.random.wrap_key_data(placed, impl=impl)
+    value = np.asarray(value)
+    return jax.make_array_from_callback(
+        value.shape, sharding, lambda idx: value[idx]
+    )
 
 
 def replicate(tree, mesh: Mesh):
-    """Replicate a pytree (params / EMA / opt state) across the mesh."""
-    return jax.device_put(tree, replicated_sharding(mesh))
+    """Replicate a pytree (params / EMA / opt state) across the mesh.
+
+    Works across processes: every process must hold the same full values
+    (e.g. params initialized from the same seed).
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(tree, replicated_sharding(mesh))
+    sh = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(lambda a: _put_from_full(a, sh), tree)
 
 
 def fsdp_sharding(tree, mesh: Mesh, axis_name: str = "data",
@@ -100,4 +187,8 @@ def shard_state(tree, mesh: Mesh, mode: str = "replicated",
         sh = fsdp_sharding(tree, mesh, axis_name, min_size)
     else:
         raise ValueError(f"unknown param_sharding mode: {mode!r}")
-    return jax.device_put(tree, sh), sh
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sh), sh
+    # multi-host: every process holds the full initial state (same init seed)
+    # and contributes the shards it owns
+    return jax.tree_util.tree_map(_put_from_full, tree, sh), sh

@@ -132,3 +132,40 @@ def test_fsdp_param_sharding_matches_replicated(tmp_path):
     jax.tree_util.tree_map(
         lambda x, y: np.testing.assert_allclose(x, y, rtol=1e-5, atol=1e-6),
         ea, eb)
+
+
+def test_spatial_sharded_sampling_matches_single_device():
+    """SP invariance (beyond reference): the full reverse loop with images
+    sharded batch x rows over a 2-D (data=2, space=4) mesh matches the
+    single-device run.  This drives halo exchange through every conv, token
+    collectives through the attention, and the sharded-H contraction through
+    the [H, H] degradation matmuls -- all inserted by XLA from the input
+    sharding alone (colddiff.parallel.image_sharding)."""
+    from colddiff.diffusion import ColdDiffusion
+    from colddiff.models import UnetConvNext
+    from colddiff.operators import get_operator
+    from colddiff.parallel import make_mesh_2d, replicate, shard_images
+    from colddiff.sampling import prepare_start, sample
+
+    op = get_operator("blur", image_size=16, timesteps=4,
+                      blur_routine="Constant", kernel_size=3, kernel_std=1.0)
+    d = ColdDiffusion(op=op, image_size=16, channels=3,
+                      sampling_routine="x0_step_down")
+    model = UnetConvNext(dim=8, dim_mults=(1, 2), channels=3)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)), jnp.float32)
+    params = model.init(jax.random.key(0), x, jnp.zeros((2,), jnp.int32))
+
+    def run(x, params):
+        start = prepare_start(d, x)
+        return sample(d, lambda xt, t: model.apply(params, xt, t), start).img
+
+    single = jax.device_get(jax.jit(run)(x, params))
+
+    mesh = make_mesh_2d(2, 4)
+    xs = shard_images(x, mesh)
+    assert xs.addressable_shards[0].data.shape == (1, 4, 16, 3)
+    ps = replicate(params, mesh)
+    sharded = jax.jit(run)(xs, ps)
+    np.testing.assert_allclose(jax.device_get(sharded), single,
+                               rtol=2e-5, atol=2e-5)
