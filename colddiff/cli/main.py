@@ -72,6 +72,14 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=["replicated", "fsdp"],
                         help="fsdp: ZeRO-3-style param/EMA/opt-state sharding "
                              "over the data mesh (beyond-reference scaling)")
+        # multi-host: join a cluster before device use (TPU pods autodetect
+        # with --multihost alone; manual clusters pass all three)
+        sp.add_argument("--multihost", action="store_true",
+                        help="call jax.distributed.initialize before running")
+        sp.add_argument("--coordinator_address", default=None,
+                        help="host:port of process 0 (manual clusters)")
+        sp.add_argument("--num_processes", type=int, default=None)
+        sp.add_argument("--process_id", type=int, default=None)
         # blur
         sp.add_argument("--blur_routine", default="Incremental")
         sp.add_argument("--blur_size", type=int, default=3, dest="blur_size")
@@ -402,6 +410,12 @@ def main(argv=None):
     from ..utils import enable_compilation_cache
 
     args = build_parser().parse_args(argv)
+    if args.multihost or args.coordinator_address:
+        from ..parallel import init_multihost
+
+        init_multihost(args.coordinator_address,
+                       num_processes=args.num_processes,
+                       process_id=args.process_id)
     # persistent XLA compilation cache: the T=200 fused-scan samplers take
     # minutes to compile on TPU; later runs of the same program start in
     # seconds (COLDDIFF_NO_COMPILATION_CACHE=1 disables)

@@ -5,6 +5,7 @@ from .mesh import (  # noqa: F401
     image_sharding,
     make_mesh,
     make_mesh_2d,
+    put_like,
     replicate,
     replicated_sharding,
     shard_batch,

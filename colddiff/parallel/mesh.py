@@ -18,7 +18,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_mesh", "make_mesh_2d", "shard_batch", "replicate",
            "data_sharding", "replicated_sharding", "fsdp_sharding",
-           "shard_state", "image_sharding", "shard_images"]
+           "shard_state", "put_like", "image_sharding", "shard_images"]
 
 
 def make_mesh(devices: Optional[list] = None, axis_name: str = "data") -> Mesh:
@@ -187,8 +187,16 @@ def shard_state(tree, mesh: Mesh, mode: str = "replicated",
         sh = fsdp_sharding(tree, mesh, axis_name, min_size)
     else:
         raise ValueError(f"unknown param_sharding mode: {mode!r}")
+    return put_like(tree, sh), sh
+
+
+def put_like(tree, sharding_tree):
+    """Place a host-local pytree onto a sharding tree, multi-host aware.
+
+    Single-process: plain ``device_put``.  Multi-host: every process must
+    hold the full values (same init seed / same restored checkpoint) and
+    contributes the shards it owns (:func:`_put_from_full`).
+    """
     if jax.process_count() == 1:
-        return jax.device_put(tree, sh), sh
-    # multi-host: every process holds the full initial state (same init seed)
-    # and contributes the shards it owns
-    return jax.tree_util.tree_map(_put_from_full, tree, sh), sh
+        return jax.device_put(tree, sharding_tree)
+    return jax.tree_util.tree_map(_put_from_full, tree, sharding_tree)

@@ -107,12 +107,24 @@ class Trainer:
         # post_process_func, diffusion.py:613-625, :743-750)
         self.to_lab = to_lab
 
+        # multi-host (after colddiff.parallel.init_multihost):
+        # ``train_batch_size`` is GLOBAL; each process loads its stripe of
+        # the dataset and contributes 1/process_count of every batch
+        nproc = jax.process_count()
+        if train_batch_size % max(nproc, 1) != 0:
+            raise ValueError(
+                f"train_batch_size={train_batch_size} must divide over "
+                f"{nproc} processes"
+            )
+        self._local_batch = train_batch_size // nproc
+        proc_kw = dict(process_index=jax.process_index(), process_count=nproc)
         self.dl = cycle(
-            DataLoader(dataset, train_batch_size, num_workers=num_workers, seed=seed)
+            DataLoader(dataset, self._local_batch, num_workers=num_workers,
+                       seed=seed, **proc_kw)
         )
         self.dl2 = (
-            cycle(DataLoader(second_dataset, train_batch_size, num_workers=num_workers,
-                             seed=seed + 1))
+            cycle(DataLoader(second_dataset, self._local_batch,
+                             num_workers=num_workers, seed=seed + 1, **proc_kw))
             if second_dataset is not None
             else None
         )
@@ -302,10 +314,11 @@ class Trainer:
                 loss_v = float(loss)
                 dt = time.time() - t0
                 ips = log_every * self.accum * self.batch_size / dt
-                print(f"step {self.step}: loss {loss_v:.5f} ({ips:.1f} img/s)", flush=True)
-                with open(self.metrics_path, "a") as f:
-                    f.write(json.dumps({"step": self.step, "loss": loss_v,
-                                        "images_per_sec": round(ips, 2)}) + "\n")
+                if jax.process_index() == 0:
+                    print(f"step {self.step}: loss {loss_v:.5f} ({ips:.1f} img/s)", flush=True)
+                    with open(self.metrics_path, "a") as f:
+                        f.write(json.dumps({"step": self.step, "loss": loss_v,
+                                            "images_per_sec": round(ips, 2)}) + "\n")
                 t0 = time.time()
             if self.step % self.save_and_sample_every == 0:
                 self.snapshot(self.step // self.save_and_sample_every)
@@ -331,6 +344,12 @@ class Trainer:
 
     def snapshot(self, milestone: int, batch_size: Optional[int] = None):
         """EMA sample grids, reference Trainer.train() (:1206-1228)."""
+        if jax.process_count() > 1:
+            # sample grids device_get global arrays; eval offline instead
+            if jax.process_index() == 0:
+                print("snapshot skipped under multi-host "
+                      "(run the eval harness offline)", flush=True)
+            return
         n = batch_size or min(self.batch_size, 36)
         og_rgb = np.stack([next(self.dl) for _ in range(1)])[0][:n]
         og = self._to_model_space(og_rgb)
@@ -373,9 +392,14 @@ class Trainer:
         import orbax.checkpoint as ocp
 
         path = Path(path or (self.results_folder / "model")).absolute()
-        ckpt = ocp.PyTreeCheckpointer()
-        state = jax.device_get(self.state)
+        # multi-host: ckpt.save/restore are collective (internal barriers) --
+        # every process must call them, and state leaves stay GLOBAL
+        # jax.Arrays (Orbax serializes each process's shards; host-local
+        # values are rejected).  Single-process keeps the host-value format.
+        multihost = jax.process_count() > 1
+        state = self.state if multihost else jax.device_get(self.state)
         op_state = jax.device_get(self.diffusion.op)
+        ckpt = ocp.PyTreeCheckpointer()
         ckpt.save(path, {"step": self.step, "state": state, "op": op_state},
                   force=True)
 
@@ -383,14 +407,19 @@ class Trainer:
         import orbax.checkpoint as ocp
 
         ckpt = ocp.PyTreeCheckpointer()
+        multihost = jax.process_count() > 1
         template = {
             "step": 0,
-            "state": jax.device_get(self.state),
+            "state": self.state if multihost else jax.device_get(self.state),
             "op": jax.device_get(self.diffusion.op),
         }
         restored = ckpt.restore(Path(path).absolute(), item=template)
         self.step = int(restored["step"])
-        self.state = jax.device_put(restored["state"], self._state_sharding)
+        if multihost:
+            # restored to the template's global shardings by Orbax
+            self.state = restored["state"]
+        else:
+            self.state = jax.device_put(restored["state"], self._state_sharding)
         # Orbax restores numpy leaves; operator state must be device arrays
         # (a numpy cum[t] gather with a traced t inside the sampling scan
         # raises TracerArrayConversionError)

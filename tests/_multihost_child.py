@@ -36,6 +36,12 @@ def main():
 
     import tempfile
 
+    def params_checksum(tr):
+        return float(
+            sum(jnp.sum(jnp.abs(l))
+                for l in jax.tree_util.tree_leaves(tr.state.params))
+        )
+
     with tempfile.TemporaryDirectory() as tmp:
         tr = make_tiny_trainer(tmp)
         per = GLOBAL_BATCHES.shape[2] // nproc
@@ -45,13 +51,28 @@ def main():
             batch = shard_batch(jnp.asarray(local), tr.mesh, batch_dim=1)
             tr.state, loss = tr._train_step(tr.state, tr.diffusion, batch, None)
             losses.append(float(loss))
-        checksum = float(
-            sum(jnp.sum(jnp.abs(l))
-                for l in jax.tree_util.tree_leaves(tr.state.params))
-        )
+        checksum = params_checksum(tr)
     print(
         "RESULT pid=%d losses=%.8f,%.8f checksum=%.6f"
         % (pid, losses[0], losses[1], checksum),
+        flush=True,
+    )
+
+    # phase 2: the full train() loop through the per-process dataloader
+    # stripes + the collective checkpoint write / all-rank load round trip
+    # (shared results folder passed by the parent; Orbax's save is itself a
+    # collective, so it doubles as the write barrier)
+    shared = sys.argv[4]
+    tr2 = make_tiny_trainer(shared)
+    tr2.train(log_every=1)  # 2 steps; ends with the collective save()
+    c_trained = params_checksum(tr2)
+
+    tr3 = make_tiny_trainer(shared)
+    tr3.load(str(tr3.results_folder / "model"))
+    c_loaded = params_checksum(tr3)
+    assert tr3.step == tr2.step == 2, (tr3.step, tr2.step)
+    print(
+        "CKPT pid=%d trained=%.6f loaded=%.6f" % (pid, c_trained, c_loaded),
         flush=True,
     )
 

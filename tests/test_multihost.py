@@ -73,10 +73,12 @@ def test_two_process_training_matches_single_process(tmp_path):
         flags + ["--xla_force_host_platform_device_count=4"])
     env["PYTHONPATH"] = str(REPO)
 
+    shared = tmp_path / "shared_results"
+    shared.mkdir()
     procs = [
         subprocess.Popen(
             [sys.executable, str(REPO / "tests" / "_multihost_child.py"),
-             coord, "2", str(pid)],
+             coord, "2", str(pid), str(shared)],
             env=env, cwd=REPO, stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT, text=True,
         )
@@ -101,6 +103,18 @@ def test_two_process_training_matches_single_process(tmp_path):
     # both hosts observe the same global losses and end state
     assert results[0][0] == results[1][0]
     assert results[0][1] == results[1][1]
+
+    # phase 2 (full train() + rank-0 checkpoint write, all-rank load): both
+    # hosts agree, and the loaded state reproduces the trained state
+    ckpt = {}
+    for out in outs:
+        line = [l for l in out.splitlines() if l.startswith("CKPT")][-1]
+        parts = dict(kv.split("=", 1) for kv in line.split()[1:])
+        ckpt[int(parts["pid"])] = (float(parts["trained"]),
+                                   float(parts["loaded"]))
+    assert ckpt[0] == ckpt[1]
+    np.testing.assert_allclose(ckpt[0][1], ckpt[0][0], rtol=1e-6)
+    assert (shared / "model").exists()
 
     # single-process 8-device control on the same global batches
     tr = make_tiny_trainer(tmp_path)
