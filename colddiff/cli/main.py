@@ -61,6 +61,10 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--recon_noise_std", type=float, default=0.0)
         sp.add_argument("--save_folder", default="./results")
         sp.add_argument("--load_path", default=None)
+        sp.add_argument("--load_torch_path", default=None,
+                        help="a reference PyTorch model.pt checkpoint "
+                             "({step, model, ema}); imported via "
+                             "colddiff.models.import_torch")
         sp.add_argument("--resume_training", action="store_true",
                         help="auto-resume from the latest checkpoint")
         sp.add_argument("--batch_size", "--bs", dest="batch_size",
@@ -260,6 +264,7 @@ def run_train(args):
         gradient_accumulate_every=args.grad_accum, ema_decay=args.ema_decay,
         save_and_sample_every=args.save_and_sample_every,
         results_folder=_results_folder(args), load_path=args.load_path,
+        load_torch_path=args.load_torch_path,
         auto_resume=args.resume_training,
         bf16=args.bf16, seed=args.seed, to_lab=args.to_lab,
         param_sharding=args.param_sharding,
@@ -278,6 +283,7 @@ def run_test(args):
     trainer = Trainer(
         diffusion, model, ds, train_batch_size=args.batch_size,
         results_folder=_results_folder(args), load_path=args.load_path,
+        load_torch_path=args.load_torch_path,
         train_num_steps=0, seed=args.seed,
     )
     params = jax.device_get(trainer.state.ema_params)

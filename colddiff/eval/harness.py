@@ -77,9 +77,12 @@ class EvalHarness:
             return model.apply(params, x, t)
 
         self.denoise = denoise
+        # the diffusion (with its operator state) is a jit *argument*, not a
+        # closure: randomized operators (fade crops, random snow) change per
+        # batch and must reach the reverse loop (see _degrade_start)
         self._all_sample = jax.jit(
-            lambda img, x_end, rng: all_sample(self.d, self.denoise, img,
-                                               x_end=x_end, rng=rng)
+            lambda d, img, x_end, rng: all_sample(d, self.denoise, img,
+                                                  x_end=x_end, rng=rng)
         )
 
     @property
@@ -105,6 +108,17 @@ class EvalHarness:
 
             return np.asarray(lab2rgb(jnp.asarray(imgs)))
         return np.asarray(imgs)
+
+    def _post_result(self, res):
+        """Convert every image field of a SampleResult to dataset space
+        (lab2rgb under ``to_lab``; identity otherwise) so callers can save
+        or measure any field without knowing the model's color space."""
+        if not self.to_lab:
+            return res
+        from ..ops.image import lab2rgb
+
+        return type(res)(*(None if f is None else lab2rgb(jnp.asarray(f))
+                           for f in res))
 
     def _sample_x_end(self, rng, og):
         """Endpoint for Family-B ops: the operator's own synthesis when it
@@ -256,7 +270,7 @@ class EvalHarness:
     def _manifold_batch(self, batch, rng, originals, degradeds, sampleds, directs):
         og = jnp.asarray(batch)
         start, x_end, op = self._degrade_start(self._pre(og), rng)
-        res = self._all_sample(start, x_end, rng)
+        res = self._all_sample(self.d.replace(op=op), start, x_end, rng)
         rows = [np.asarray(og), self._post(res.xt_trajectory[0]),
                 self._post(res.img), self._post(res.x0_trajectory[0])]
         if rows[0].shape[1] > 256:
@@ -296,15 +310,16 @@ class EvalHarness:
                 idxs = [(ep_idx + i) % len(endpoint_dataset)
                         for i in range(batch_size)]
                 ep_idx += batch_size
-                noise = jnp.asarray(
+                noise = self._pre(jnp.asarray(
                     np.stack([endpoint_dataset[i] for i in idxs])
-                )
+                ))
             else:
                 noise = jax.random.normal(
                     nrng, (batch_size, s, s, self.d.channels)
                 )
             res = sample_jit(noise, srng)
-            imgs = np.asarray((jnp.clip(res.img, -1, 1) + 1) * 127.5).astype(np.uint8)
+            img = self._post(res.img)
+            imgs = ((np.clip(img, -1, 1) + 1) * 127.5).astype(np.uint8)
             for i in range(imgs.shape[0]):
                 if count >= num:
                     break
@@ -325,9 +340,14 @@ class EvalHarness:
         (sample_as_a_mean_blur_torch_gmm[_ablation], deblur :1391-1512)."""
         rng = rng if rng is not None else jax.random.key(0)
         n_fit = min(len(dataset), max_fit)
-        means = np.stack(
-            [np.asarray(dataset[i]).mean(axis=(0, 1)) for i in range(n_fit)]
-        )
+        # per-image channel means in MODEL space (lab means != rgb means
+        # converted, so _pre comes before the reduction), batched in chunks
+        means = np.concatenate([
+            np.asarray(self._pre(jnp.asarray(np.stack(
+                [dataset[i] for i in range(lo, min(lo + 256, n_fit))]
+            ))).mean(axis=(1, 2)))
+            for lo in range(0, n_fit, 256)
+        ])
         f_rng, s_rng, n_rng, samp_rng = jax.random.split(rng, 4)
         gmm = fit_gmm(jnp.asarray(means), clusters, f_rng)
         draws = sample_gmm(gmm, s_rng, num)  # [num, C]
@@ -341,8 +361,8 @@ class EvalHarness:
         img = prepare_start(self.d, img)
         if noise_level > 0:
             img = img + noise_level * jax.random.normal(n_rng, img.shape)
-        res = sample(self.d, self.denoise, img, rng=samp_rng)
-        return res
+        return self._post_result(sample(self.d, self.denoise, img,
+                                        rng=samp_rng))
 
     # ------------------------------------------------------------------ #
 
@@ -360,7 +380,7 @@ class EvalHarness:
         sample_at = sample_at if sample_at is not None else T
         s = self.d.image_size
         n_fit = min(len(dataset), max_fit)
-        imgs = jnp.asarray(np.stack([dataset[i] for i in range(n_fit)]))
+        imgs = self._pre(jnp.asarray(np.stack([dataset[i] for i in range(n_fit)])))
         lvl = jnp.full((n_fit,), sample_at, dtype=jnp.int32)
         degraded = self.d.op.degrade(imgs, lvl)
         c = degraded.shape[-1]
@@ -374,7 +394,8 @@ class EvalHarness:
         if noise_level > 0:
             start = start + noise_level * jax.random.normal(n_rng, start.shape)
         xt = self.d.op.degrade_range(start, sample_at, T)
-        return sample(self.d, self.denoise, xt, rng=samp_rng)
+        return self._post_result(sample(self.d, self.denoise, xt,
+                                        rng=samp_rng))
 
     # ------------------------------------------------------------------ #
     # Family-B vector-GMM blind generation + data-as-x_T sampling
@@ -384,7 +405,7 @@ class EvalHarness:
         (the shared preamble of sample_as_a_vector_gmm*,
         denoising_diffusion_pytorch.py:1091-1117)."""
         n_fit = min(len(dataset), max_fit)
-        imgs = jnp.asarray(np.stack([dataset[i] for i in range(n_fit)]))
+        imgs = self._pre(jnp.asarray(np.stack([dataset[i] for i in range(n_fit)])))
         c = imgs.shape[-1]
         low = jax.image.resize(
             imgs, (n_fit, siz, siz, c), method="bilinear"
@@ -477,13 +498,18 @@ class EvalHarness:
         )
         cnt = 0
         batch = []
+
         def flush(batch, cnt, rng):
-            imgs = self._post(sample_jit(
-                jnp.asarray(np.stack(batch)), rng))
-            for i in range(imgs.shape[0]):
+            # pad a ragged tail to the compiled batch size; save only the
+            # real images
+            n = len(batch)
+            batch = batch + [batch[-1]] * (batch_size - n)
+            imgs = self._post(sample_jit(jnp.asarray(np.stack(batch)), rng))
+            for i in range(n):
                 self._save_png(imgs[i], out / f"sample-x0-{cnt}.png")
                 cnt += 1
             return cnt
+
         for idx in idxs:
             batch.append(self._pre(jnp.asarray(dataset[idx])))
             if len(batch) == batch_size:
@@ -491,14 +517,8 @@ class EvalHarness:
                 cnt = flush(batch, cnt, s_rng)
                 batch = []
         if batch:
-            # pad the ragged tail to the compiled batch size
-            n = len(batch)
-            batch = batch + [batch[-1]] * (batch_size - n)
             rng, s_rng = jax.random.split(rng)
-            imgs = self._post(sample_jit(jnp.asarray(np.stack(batch)), s_rng))
-            for i in range(n):
-                self._save_png(imgs[i], out / f"sample-x0-{cnt}.png")
-                cnt += 1
+            cnt = flush(batch, cnt, s_rng)
         return out
 
     def test_from_data_save_results(self, dataset, num: Optional[int] = None,
@@ -541,17 +561,20 @@ class EvalHarness:
         (denoising_diffusion_pytorch.py:437-478; deblur :691-861)."""
         rng = rng if rng is not None else jax.random.key(0)
         og = jnp.asarray(batch)
+        og_m = self._pre(og)
         b = og.shape[0]
         T = self.d.num_timesteps
         end_rng, _ = jax.random.split(rng)
-        x_end = self._sample_x_end(end_rng, og)
-        # forward trajectory: D(og, n) for every level
-        fwd = [np.asarray(og)]
-        for n in range(1, T + 1):
-            fwd.append(np.asarray(self.d.op.degrade(
-                og, jnp.full((b,), n), x_end=x_end, og=og)))
-        res = all_sample(self.d, self.denoise, jnp.asarray(fwd[-1]),
-                         x_end=x_end, rng=rng)
+        x_end = self._sample_x_end(end_rng, og_m)
+        # forward trajectory: D(og, n) for every level (model space; frames
+        # converted back to rgb for the GIFs)
+        fwd_m = [og_m] + [
+            self.d.op.degrade(og_m, jnp.full((b,), n), x_end=x_end, og=og_m)
+            for n in range(1, T + 1)
+        ]
+        res = self._post_result(all_sample(self.d, self.denoise, fwd_m[-1],
+                                           x_end=x_end, rng=rng))
+        fwd = [self._post(f) for f in fwd_m]
         bwd = [np.asarray(f) for f in res.xt_trajectory] + [np.asarray(res.img)]
         save_gif(fwd, self.results_folder / f"{prefix}-forward.gif")
         save_gif(bwd, self.results_folder / f"{prefix}-backward.gif")
@@ -565,9 +588,7 @@ class EvalHarness:
 
         rng = rng if rng is not None else jax.random.key(0)
         og = jnp.asarray(batch)
-        start, x_end, op = self._degrade_start(og, rng)
-        res = all_sample(self.d.replace(op=op), self.denoise, start,
-                         x_end=x_end, rng=rng)
+        res = self._run_all_sample(og, rng)
         frames = np.concatenate(
             [np.asarray(res.xt_trajectory), np.asarray(res.img)[None]], axis=0
         )  # [T+1, B, H, W, C]
@@ -588,10 +609,13 @@ class EvalHarness:
     # named paper-figure generators (reference --test_type surface)
 
     def _run_all_sample(self, og, rng, s_times=None, routine=None):
+        """``og`` is dataset-space rgb; the result's fields are converted
+        back to dataset space (to_lab-safe for every figure generator)."""
         d = self.d if routine is None else self.d.replace(sampling_routine=routine)
-        start, x_end, op = self._degrade_start(og, rng)
-        return all_sample(d.replace(op=op), self.denoise, start,
-                          t=s_times, x_end=x_end, rng=rng)
+        start, x_end, op = self._degrade_start(self._pre(og), rng)
+        return self._post_result(all_sample(d.replace(op=op), self.denoise,
+                                            start, t=s_times, x_end=x_end,
+                                            rng=rng))
 
     @staticmethod
     def _panel(imgs, pad: int = 10, color: float = -1.0) -> np.ndarray:
@@ -707,22 +731,23 @@ class EvalHarness:
         :1269-1337 via forward_and_backward_2)."""
         rng = rng if rng is not None else jax.random.key(0)
         og = jnp.asarray(batch)
+        og_m = self._pre(og)
         b = og.shape[0]
         T = self.d.num_timesteps
         end_rng, _ = jax.random.split(rng)
-        x_end = self._sample_x_end(end_rng, og)
-        fwd = [np.asarray(og)] + [
-            np.asarray(self.d.op.degrade(og, jnp.full((b,), n), x_end=x_end,
-                                         og=og))
+        x_end = self._sample_x_end(end_rng, og_m)
+        fwd_m = [og_m] + [
+            self.d.op.degrade(og_m, jnp.full((b,), n), x_end=x_end, og=og_m)
             for n in range(1, T + 1)
         ]
+        fwd = [self._post(f) for f in fwd_m]
         root = self.results_folder
         pick = np.linspace(0, T, min(n_frames, T + 1)).astype(int)
         paths = []
         for alg, routine in (("1", "default"), ("2", "x0_step_down")):
             d = self.d.replace(sampling_routine=routine)
-            res = all_sample(d, self.denoise, jnp.asarray(fwd[-1]),
-                             x_end=x_end, rng=rng)
+            res = self._post_result(all_sample(d, self.denoise, fwd_m[-1],
+                                               x_end=x_end, rng=rng))
             bwd = [np.asarray(f) for f in res.xt_trajectory]
             bwd.append(np.asarray(res.img))
             for k in range(b):
@@ -741,8 +766,8 @@ class EvalHarness:
         rng = rng if rng is not None else jax.random.key(0)
         img = jnp.asarray(img)
         T = self.d.num_timesteps
-        xt = self.d.op.degrade_range(img, start, T)
-        res = sample(self.d, self.denoise, xt, rng=rng)
+        xt = self.d.op.degrade_range(self._pre(img), start, T)
+        res = self._post_result(sample(self.d, self.denoise, xt, rng=rng))
         root = self.results_folder
         save_image_grid(np.asarray(img), root / f"sample-og-{prefix}.png")
         save_image_grid(np.asarray(res.xt), root / f"sample-xt-{prefix}.png")
@@ -758,9 +783,7 @@ class EvalHarness:
 
         rng = rng if rng is not None else jax.random.key(0)
         og = jnp.asarray(batch[:1])
-        start, x_end, op = self._degrade_start(og, rng)
-        res = all_sample(self.d.replace(op=op), self.denoise, start, x_end=x_end,
-                         rng=rng)
+        res = self._run_all_sample(og, rng)
         frames = np.asarray(res.xt_trajectory)[:, 0]  # [T, H, W, C]
         T = frames.shape[0]
         pick = np.linspace(0, T - 1, min(n_frames, T)).astype(int)

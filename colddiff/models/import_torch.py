@@ -25,9 +25,12 @@ __all__ = [
     "convert_depthwise_conv",
     "convert_conv_transpose",
     "convert_linear",
+    "load_torch_blob",
     "load_reference_checkpoint",
+    "reference_checkpoint_step",
     "import_unet_convnext",
     "import_unet_resnet",
+    "import_for_model",
 ]
 
 
@@ -53,16 +56,33 @@ def _vec(w: np.ndarray) -> np.ndarray:
     return np.asarray(w).reshape(-1)
 
 
-def load_reference_checkpoint(path: str, use_ema: bool = True) -> Dict[str, np.ndarray]:
-    """Load a reference model.pt; returns a flat name->numpy dict with the
-    DataParallel ``module.`` prefixes stripped and the ``denoise_fn.`` scope
-    removed (the UNet weights only)."""
+def load_torch_blob(path_or_blob):
+    """torch.load a checkpoint path; dicts pass through (already loaded)."""
+    if isinstance(path_or_blob, dict):
+        return path_or_blob
     import torch
 
-    blob = torch.load(path, map_location="cpu")
-    sd = blob["ema" if use_ema else "model"] if isinstance(blob, dict) and (
-        "model" in blob or "ema" in blob
-    ) else blob
+    return torch.load(path_or_blob, map_location="cpu")
+
+
+def load_reference_checkpoint(path_or_blob, use_ema: bool = True) -> Dict[str, np.ndarray]:
+    """Load a reference model.pt (or an already-torch.load-ed blob); returns
+    a flat name->numpy dict with the DataParallel ``module.`` prefixes
+    stripped and the ``denoise_fn.`` scope removed (the UNet weights only)."""
+    blob = load_torch_blob(path_or_blob)
+    if isinstance(blob, dict) and ("model" in blob or "ema" in blob):
+        # reference Trainer checkpoints are {step, model, ema}
+        # (deblurring_diffusion_pytorch.py:1140-1149); a missing or
+        # None-valued slot (EMA not yet initialized) falls back to the other
+        want = "ema" if use_ema else "model"
+        sd = blob.get(want)
+        if sd is None:
+            sd = blob.get("model" if use_ema else "ema")
+        if sd is None:
+            raise KeyError(
+                "checkpoint has neither a usable 'model' nor 'ema' state dict")
+    else:
+        sd = blob
     out = {}
     for k, v in sd.items():
         k = k.replace("module.", "")
@@ -239,3 +259,37 @@ def import_unet_resnet(sd: Dict[str, np.ndarray], ch: int, ch_mult=(1, 2, 2, 2),
     p["conv_out"] = {"kernel": convert_conv(sd["conv_out.weight"]),
                      "bias": _vec(sd["conv_out.bias"])}
     return {"params": p}
+
+
+# --------------------------------------------------------------------- #
+
+def reference_checkpoint_step(path_or_blob) -> int:
+    """Step counter of a reference Trainer checkpoint (0 for bare dicts)."""
+    blob = load_torch_blob(path_or_blob)
+    return int(blob["step"]) if isinstance(blob, dict) and "step" in blob else 0
+
+
+def import_for_model(model, path_or_blob, use_ema: bool = True) -> dict:
+    """Import a reference ``model.pt`` into a params pytree for ``model``.
+
+    ``model`` is a constructed :class:`UnetConvNext` or :class:`UnetResNet`;
+    its hyperparameters drive the layout mapping, so the checkpoint and the
+    module must describe the same architecture (mismatches raise KeyError on
+    the first missing reference tensor).  Pass an already-loaded blob to
+    deserialize the file once across model/EMA/step reads.
+    """
+    from .unet_convnext import UnetConvNext
+    from .unet_resnet import UnetResNet
+
+    sd = load_reference_checkpoint(path_or_blob, use_ema=use_ema)
+    if isinstance(model, UnetConvNext):
+        return import_unet_convnext(
+            sd, model.dim, tuple(model.dim_mults), model.channels,
+            with_time_emb=model.with_time_emb)
+    if isinstance(model, UnetResNet):
+        return import_unet_resnet(
+            sd, model.ch, tuple(model.ch_mult), model.num_res_blocks,
+            tuple(model.attn_resolutions), model.resolution,
+            with_time_emb=model.with_time_emb)
+    raise TypeError(f"no reference-checkpoint importer for "
+                    f"{type(model).__name__}")

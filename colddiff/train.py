@@ -30,7 +30,7 @@ import optax
 from flax import struct
 
 from .diffusion import ColdDiffusion
-from .parallel import (make_mesh, replicated_sharding, shard_batch,
+from .parallel import (make_mesh, put_like, replicated_sharding, shard_batch,
                        shard_state)
 from .sampling import prepare_start, sample
 from .utils import create_folder, cycle, ema_update, save_image_grid
@@ -65,6 +65,7 @@ class Trainer:
         save_with_milestone_every: int = 0,  # 0 = only the rolling 'model'
         results_folder: str = "./results",
         load_path: Optional[str] = None,
+        load_torch_path: Optional[str] = None,
         bf16: bool = False,
         num_workers: int = 4,
         seed: int = 0,
@@ -160,11 +161,37 @@ class Trainer:
         self.state, self._state_sharding = shard_state(
             self.state, self.mesh, param_sharding, min_size=fsdp_min_size)
         self.step = 0
+        if load_path is not None and load_torch_path is not None:
+            raise ValueError("pass load_path or load_torch_path, not both")
         if load_path is None and auto_resume and (self.results_folder / "model").exists():
-            # elastic recovery: resume from the latest checkpoint in place
+            # elastic recovery: resume from the latest checkpoint in place.
+            # Takes precedence over load_torch_path so a migrated run
+            # (--load_torch_path + --resume_training) restarts from its own
+            # progress after a preemption, not from the imported .pt again.
             load_path = str(self.results_folder / "model")
+            load_torch_path = None
         if load_path is not None:
             self.load(load_path)
+        elif load_torch_path is not None:
+            # migration path: resume directly from a reference PyTorch
+            # Trainer checkpoint ({step, model, ema} -- deblurring_diffusion_
+            # pytorch.py:1140-1149); Adam moments restart at zero (the
+            # reference drops them on resume too)
+            from .models.import_torch import (import_for_model,
+                                              load_torch_blob,
+                                              reference_checkpoint_step)
+
+            blob = load_torch_blob(load_torch_path)
+            params = import_for_model(model, blob, use_ema=False)
+            ema = import_for_model(model, blob, use_ema=True)
+            self.step = reference_checkpoint_step(blob)
+            state = self.state.replace(
+                step=jnp.asarray(self.step, jnp.int32),
+                params=params,
+                ema_params=ema,
+                opt_state=self.tx.init(params),
+            )
+            self.state = put_like(state, self._state_sharding)
 
         # out_shardings pin the returned state to the same placement as the
         # input state (otherwise the partitioner may replicate fsdp-sharded
