@@ -44,11 +44,17 @@ class FadeGeneration(Degradation):
                 kers = kers * k
                 stack.append(kers.copy())
         if reverse:
+            # get_reverse_kernels_with_schedule returns the reversed
+            # pre-products as one_minus_alphas; alphas are their COMPLEMENT
+            # (:371-373), so t=T-1 is pure x_end (alpha=0), not identity
             stack.reverse()
+            arr = 1.0 - np.stack(stack)
+        else:
+            arr = np.stack(stack)
         return cls(
             timesteps=timesteps,
             requires_x_end=True,
-            alphas=jnp.asarray(np.stack(stack).astype(np.float32)),
+            alphas=jnp.asarray(arr.astype(np.float32)),
         )
 
     def degrade(self, x, n, *, x_end=None, og=None, rng=None):

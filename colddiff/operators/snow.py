@@ -120,8 +120,11 @@ class Snow(Degradation):
 
         fx = jnp.asarray(fields, dtype=jnp.float32)
         m = jnp.asarray(mats)
-        h_blur = jnp.einsum("tij,tlhj->tlhi", m, fx)  # along W
-        v_blur = jnp.einsum("tij,tljw->tliw", m, fx)  # along H
+        # true-fp32 like every degradation einsum (TPU default bf16 inputs
+        # would corrupt the precomputed snow fields)
+        hp = jax.lax.Precision.HIGHEST
+        h_blur = jnp.einsum("tij,tlhj->tlhi", m, fx, precision=hp)  # along W
+        v_blur = jnp.einsum("tij,tljw->tliw", m, fx, precision=hp)  # along H
 
         if self.single_snow:
             # half the per-sample layers get vertical blur

@@ -116,9 +116,18 @@ def test_fade_generation_alphas_and_reverse(rng):
     a = np.asarray(op.alphas)
     assert a.shape == (T, s, s)
     assert np.all(a[1:] <= a[:-1] + 1e-7)
-    # reverse: flipped direction, first level is all-ones kernel product
+    # reverse: alphas are the COMPLEMENT of the reversed pre-products
+    # (get_reverse_kernels_with_schedule + `alphas = 1 - one_minus_alphas`,
+    # defading...pytorch.py:332-345,371-373): the last level is pure x_end
     ar = np.asarray(rev.alphas)
-    np.testing.assert_allclose(ar[-1], np.ones((s, s)), atol=0)
+    np.testing.assert_allclose(ar[-1], np.zeros((s, s)), atol=0)
+    kers = np.ones((s, s))
+    pre = []
+    for i in range(T):
+        pre.append(kers.copy())
+        kers = kers * np.asarray(fade_mask(s, 0.2 * (i + 2)))
+    np.testing.assert_allclose(ar, 1.0 - np.stack(pre[::-1]),
+                               rtol=1e-6, atol=1e-6)
 
     x = jnp.asarray(rng.standard_normal((2, s, s, 3)), dtype=np.float32)
     e = op.sample_x_end(jax.random.key(0), x)
