@@ -371,6 +371,14 @@ def run_test(args):
             ds, siz=args.gmm_size, clusters=args.gmm_cluster,
             n_sample=args.test_end, batch_size=args.batch_size,
         )
+    elif tt in ("train_distribution_vector_from_blur_gmm",
+                "sample_as_a_vector_from_blur_pytorch_gmm_and_save"):
+        harness.gmm_from_blur_samples_and_save(
+            ds, start=args.test_start, end=args.test_end,
+            siz=args.gmm_size, clusters=args.gmm_cluster,
+            n_sample=args.test_end, batch_size=args.batch_size,
+            sample_at=args.gmm_sample_at or None,
+        )
     elif tt in ("sample_from_train_data", "sample_from_test_data"):
         harness.sample_from_data_save(
             ds, start=args.test_start, end=args.test_end,

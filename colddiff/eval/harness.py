@@ -204,13 +204,17 @@ class EvalHarness:
         return out
 
     def opt(self, batch, t: Optional[int] = None, rng=None):
-        """Pure forward degradation, no model (deblur ``opt``, :595-607)."""
+        """Pure forward degradation, no model (deblur ``opt``, :595-607).
+
+        Input and output are dataset-space rgb; the degradation itself runs
+        in model space (lab under ``to_lab``), like every other method."""
         rng = rng if rng is not None else jax.random.key(0)
-        og = jnp.asarray(batch)
+        og = self._pre(jnp.asarray(batch))
         steps = t if t is not None else self.d.num_timesteps
         end_rng, op_rng = jax.random.split(rng)
         x_end = self._sample_x_end(end_rng, og)
-        return prepare_start(self.d, og, steps, x_end=x_end, op_rng=op_rng)
+        return self._post(
+            prepare_start(self.d, og, steps, x_end=x_end, op_rng=op_rng))
 
     # ------------------------------------------------------------------ #
 
@@ -314,9 +318,13 @@ class EvalHarness:
                     np.stack([endpoint_dataset[i] for i in idxs])
                 ))
             else:
-                noise = jax.random.normal(
+                # unit-normal noise is a dataset-space (rgb [-1,1]-scale)
+                # distribution; route it through _pre so a lab-space model
+                # starts from the same distribution as the endpoint-dataset
+                # branch rather than raw N(0,1) in lab coordinates
+                noise = self._pre(jax.random.normal(
                     nrng, (batch_size, s, s, self.d.channels)
-                )
+                ))
             res = sample_jit(noise, srng)
             img = self._post(res.img)
             imgs = ((np.clip(img, -1, 1) + 1) * 127.5).astype(np.uint8)
@@ -432,17 +440,18 @@ class EvalHarness:
         f_rng, s_rng, samp_rng = jax.random.split(rng, 3)
         gmm, c = self._fit_vector_gmm(dataset, siz, clusters, f_rng, max_fit)
         start = self._vector_gmm_starts(gmm, s_rng, num, siz, c)
-        res = all_sample(self.d, self.denoise, start, rng=samp_rng,
-                         traj_stride=traj_stride)
+        res = self._post_result(all_sample(self.d, self.denoise, start,
+                                           rng=samp_rng,
+                                           traj_stride=traj_stride))
         if save:
             tag = f"{siz}-{clusters}-vec"
             save_image_grid(self._post(start),
                             self.results_folder / f"og-{tag}.png")
-            x0s = [self._post(f) for f in res.x0_trajectory]
-            xts = [self._post(f) for f in res.xt_trajectory]
-            save_gif(x0s + [self._post(res.img)],
+            x0s = [np.asarray(f) for f in res.x0_trajectory]
+            xts = [np.asarray(f) for f in res.xt_trajectory]
+            save_gif(x0s + [np.asarray(res.img)],
                      self.results_folder / f"Gif-{tag}-x0.gif", titles=True)
-            save_gif(xts + [self._post(res.img)],
+            save_gif(xts + [np.asarray(res.img)],
                      self.results_folder / f"Gif-{tag}-xt.gif", titles=True)
         return res
 
@@ -476,6 +485,73 @@ class EvalHarness:
                 if cnt >= n_sample:
                     break
                 self._save_png(imgs[i], out / f"sample-x0-{cnt}.png")
+                cnt += 1
+        return out
+
+    def gmm_from_blur_samples_and_save(self, dataset, start: int = 0,
+                                       end: Optional[int] = 1000,
+                                       siz: int = 64, clusters: int = 10,
+                                       n_sample: int = 1000,
+                                       batch_size: int = 100,
+                                       sample_at: Optional[int] = None,
+                                       rng=None, out_dir=None) -> Path:
+        """Fit a GMM at the half-degraded level and reverse-sample from it
+        (sample_as_a_vector_from_blur_pytorch_gmm_and_save,
+        denoising_diffusion_pytorch.py:1288-1360).  The reference method is
+        dead as written -- it calls ``opt`` and ``all_sample_from_blur``,
+        neither of which exists on the hot GaussianDiffusion -- so this
+        implements its stated intent: degrade the dataset to
+        ``sample_at = T // 2``, bilinear-downsize + flatten + fit a GMM
+        there, then treat upsized GMM draws as x_{sample_at} and reverse the
+        remaining steps (endpoint estimated per step, like the reference's
+        Family-B all_sample).  Works for Family A too (degrade needs no
+        endpoint there).  Saves ``sample-x0-<cnt>.png`` finals and
+        ``sample-<cnt>.png`` GMM starts in the reference's mirrored
+        ``<results>_{siz}_{clusters}_{sample_at}`` trees."""
+        rng = rng if rng is not None else jax.random.key(0)
+        T = self.d.num_timesteps
+        sample_at = T // 2 if sample_at is None else int(sample_at)
+        s = self.d.image_size
+        last = len(dataset) - 1 if end is None else min(end, len(dataset) - 1)
+        idxs = list(range(start + 1, last + 1))
+        lows = []
+        c = None
+        for lo in range(0, len(idxs), 256):
+            chunk = self._pre(jnp.asarray(np.stack(
+                [dataset[i] for i in idxs[lo:lo + 256]])))
+            rng, e_rng = jax.random.split(rng)
+            x_end = self._sample_x_end(e_rng, chunk)
+            lvl = jnp.full((chunk.shape[0],), sample_at, dtype=jnp.int32)
+            deg = self.d.op.degrade(chunk, lvl, x_end=x_end, og=chunk)
+            c = deg.shape[-1]
+            lows.append(np.asarray(jax.image.resize(
+                deg, (deg.shape[0], siz, siz, c), method="bilinear"
+            ).reshape(deg.shape[0], -1)))
+        f_rng, rng = jax.random.split(rng)
+        gmm = fit_gmm(jnp.asarray(np.concatenate(lows)), clusters, f_rng)
+        base = Path(out_dir) if out_dir is not None else self.results_folder
+        out = base.with_name(f"{base.name}_{siz}_{clusters}_{sample_at}")
+        out_gmm = base.with_name(f"{base.name}_gmm_{siz}_{clusters}_{sample_at}")
+        create_folder(out)
+        create_folder(out_gmm)
+        sample_jit = jax.jit(
+            lambda img, r: sample(self.d, self.denoise, img, sample_at,
+                                  rng=r).img
+        )
+        cnt = 0
+        while cnt < n_sample:
+            rng, d_rng, s_rng = jax.random.split(rng, 3)
+            draws = sample_gmm(gmm, d_rng, batch_size).reshape(
+                batch_size, siz, siz, c)
+            xt = jax.image.resize(draws, (batch_size, s, s, c),
+                                  method="bilinear")
+            imgs = self._post(sample_jit(xt, s_rng))
+            starts = self._post(xt)
+            for i in range(imgs.shape[0]):
+                if cnt >= n_sample:
+                    break
+                self._save_png(imgs[i], out / f"sample-x0-{cnt}.png")
+                self._save_png(starts[i], out_gmm / f"sample-{cnt}.png")
                 cnt += 1
         return out
 

@@ -75,9 +75,16 @@ def load_reference_checkpoint(path_or_blob, use_ema: bool = True) -> Dict[str, n
         # (deblurring_diffusion_pytorch.py:1140-1149); a missing or
         # None-valued slot (EMA not yet initialized) falls back to the other
         want = "ema" if use_ema else "model"
+        other = "model" if use_ema else "ema"
         sd = blob.get(want)
         if sd is None:
-            sd = blob.get("model" if use_ema else "ema")
+            sd = blob.get(other)
+            if sd is not None:
+                import warnings
+
+                warnings.warn(
+                    f"checkpoint has no usable '{want}' state dict; "
+                    f"falling back to '{other}' weights", stacklevel=2)
         if sd is None:
             raise KeyError(
                 "checkpoint has neither a usable 'model' nor 'ema' state dict")

@@ -66,13 +66,14 @@ class Degradation(struct.PyTreeNode):
         """
         return self.degrade(x, n, **kw)
 
-    def degrade_range(self, x: jnp.ndarray, n0: int, n1: int) -> jnp.ndarray:
+    def degrade_range(self, x: jnp.ndarray, n0: int, n1: int, *,
+                      x_end: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         """Apply steps ``n0..n1-1`` to a state already degraded to level
         ``n0`` (static ints).  Used by ``sample_from_blur``-style partial
         forward chains (deblurring_diffusion_pytorch.py:877-879
-        ``for i in range(start, t)``).  Only sequential-composition operators
-        (blur) support this; interpolation operators would need the clean
-        endpoint."""
+        ``for i in range(start, t)``).  Sequential-composition operators
+        (blur) compose per-step matrices; interpolation operators (Family B)
+        use the closed-form schedule ratio and need ``x_end``."""
         raise NotImplementedError(
             f"{type(self).__name__} does not support partial-range degradation"
         )

@@ -88,7 +88,7 @@ class GaussianBlur(Degradation):
             y = self._collapse_discrete(x, y, n)
         return y
 
-    def degrade_range(self, x, n0, n1):
+    def degrade_range(self, x, n0, n1, *, x_end=None):
         """Apply blur steps n0..n1-1 to a level-n0 state (static ints);
         the sample_from_blur forward preamble
         (deblurring_diffusion_pytorch.py:877-886), incl. the discrete

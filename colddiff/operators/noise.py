@@ -41,6 +41,31 @@ class Interpolation(Degradation):
         y = a * x + b * x_end
         return jnp.where(bcast(n, x.ndim) == 0, x, y)
 
+    def degrade_range(self, x, n0, n1, *, x_end=None):
+        """Closed-form partial chain: given x at level ``n0``
+        (x = sqrt_ac[n0-1]*x0 + sqrt_1mac[n0-1]*x_end), advance to ``n1``
+        without knowing x0:
+
+            r      = sqrt_ac[n1-1] / sqrt_ac[n0-1]
+            x_{n1} = r * x + (sqrt_1mac[n1-1] - r * sqrt_1mac[n0-1]) * x_end
+
+        The Family-B analog of blur's per-step matrix composition (the
+        reference's missing ``all_sample_from_blur`` partial forward,
+        denoising_diffusion_pytorch.py:1288-1360 intent)."""
+        n0, n1 = int(n0), int(n1)
+        if not 0 <= n0 <= n1 <= self.timesteps:
+            raise ValueError(f"invalid range [{n0}, {n1}] for T={self.timesteps}")
+        b = x.shape[0]
+        nvec = jnp.full((b,), n1, dtype=jnp.int32)
+        if n0 == 0:
+            return self.degrade(x, nvec, x_end=x_end)
+        if n1 == n0:
+            return x
+        assert x_end is not None, "Family-B degrade_range needs the endpoint"
+        r = self.sqrt_ac[n1 - 1] / self.sqrt_ac[n0 - 1]
+        w_end = self.sqrt_1mac[n1 - 1] - r * self.sqrt_1mac[n0 - 1]
+        return r * x + w_end * x_end
+
     def x_end_from_xt(self, x0_bar, xt, n):
         """Estimate the endpoint from x_t and a predicted x0 (DDIM-style).
 

@@ -8,6 +8,7 @@ to [0, 1] and ``lab2rgb`` returns [-1, 1], exactly like the reference.
 
 from __future__ import annotations
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -60,7 +61,10 @@ def rgb2lab(x: jnp.ndarray) -> jnp.ndarray:
     """
     rgb = (x + 1.0) * 0.5
     lin = _srgb_to_linear(rgb)
-    xyz = jnp.einsum("...c,dc->...d", lin, jnp.asarray(_RGB2XYZ))
+    # true fp32: TPU default-precision einsums run on bf16 inputs, which
+    # visibly corrupts the lab round-trip (max rgb err ~0.1 at 8-bit scale)
+    xyz = jnp.einsum("...c,dc->...d", lin, jnp.asarray(_RGB2XYZ),
+                     precision=jax.lax.Precision.HIGHEST)
     xyz_n = xyz / jnp.asarray(_D65)
     threshold = 0.008856
     f = jnp.where(
@@ -84,7 +88,8 @@ def lab2rgb(x: jnp.ndarray, clip: bool = True) -> jnp.ndarray:
     f = jnp.stack([fx, fy, fz], axis=-1)
     xyz = jnp.where(f > 0.2068966, f**3, (f - 4.0 / 29.0) / 7.787)
     xyz = xyz * jnp.asarray(_D65)
-    lin = jnp.einsum("...c,dc->...d", xyz, jnp.asarray(_XYZ2RGB))
+    lin = jnp.einsum("...c,dc->...d", xyz, jnp.asarray(_XYZ2RGB),
+                     precision=jax.lax.Precision.HIGHEST)
     rgb = _linear_to_srgb(lin)
     if clip:
         rgb = jnp.clip(rgb, 0.0, 1.0)

@@ -76,6 +76,32 @@ def test_sample_from_data_save_slice_semantics(harness):
     assert len(files) == 6
 
 
+def test_interpolation_degrade_range_closed_form(harness):
+    """Family-B degrade_range must equal degrading the clean image directly:
+    degrade_range(q(x0, n0), n0, n1, x_end) == q(x0, n1) for the same x_end."""
+    op = harness.d.op
+    rng = jax.random.key(3)
+    x0 = jax.random.uniform(rng, (4, 8, 8, 3), minval=-1, maxval=1)
+    x_end = jax.random.normal(jax.random.fold_in(rng, 1), x0.shape)
+    for n0, n1 in [(1, 3), (2, 3), (0, 2), (2, 2)]:
+        at_n0 = op.degrade(x0, jnp.full((4,), n0, jnp.int32), x_end=x_end)
+        stepped = op.degrade_range(at_n0, n0, n1, x_end=x_end)
+        direct = op.degrade(x0, jnp.full((4,), n1, jnp.int32), x_end=x_end)
+        np.testing.assert_allclose(np.asarray(stepped), np.asarray(direct),
+                                   atol=1e-5, err_msg=f"range {n0}->{n1}")
+
+
+def test_gmm_from_blur_samples_and_save(harness):
+    ds = TinyDataset(n=12)
+    out = harness.gmm_from_blur_samples_and_save(
+        ds, start=0, end=11, siz=4, clusters=2, n_sample=5, batch_size=4)
+    # reference dir naming: <results>_{siz}_{clusters}_{sample_at}; T=3 -> 1
+    assert out.name.endswith("_4_2_1")
+    assert len(list(out.glob("sample-x0-*.png"))) == 5
+    gmm_dir = out.with_name(out.name.replace("_4_2_1", "_gmm_4_2_1"))
+    assert len(list(gmm_dir.glob("sample-*.png"))) == 5
+
+
 def test_from_data_save_results_four_folders(harness):
     ds = TinyDataset(n=5)
     harness.test_from_data_save_results(ds, num=5, batch_size=4)
