@@ -18,6 +18,7 @@ Flag names match the reference (--time_steps, --blur_routine,
 from __future__ import annotations
 
 import argparse
+from pathlib import Path
 
 import numpy as np
 
@@ -123,6 +124,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "train_distribution_mean_blur_torch_gmm | "
                          "test_paper_showing_diffusion_images")
     te.add_argument("--fid_weights", default=None)
+    te.add_argument("--eval_mesh", choices=["auto", "off"], default="auto",
+                    help="auto: shard eval sweeps over all chips; "
+                         "off: reference-parity single-device loops")
     te.add_argument("--gmm_cluster", type=int, default=1)
     te.add_argument("--gmm_size", type=int, default=16,
                     help="low-res side for the degraded-image GMM")
@@ -295,10 +299,18 @@ def run_test(args):
 
         ds2 = ImageFolderDataset(args.data_path_2, image_size, aug="center",
                                  seed=args.seed + 1)
+    # mesh-parallel eval: with >1 chip the jitted sampling sweeps shard over
+    # the data mesh automatically (the manifold/FID loops are embarrassingly
+    # parallel); --eval_mesh off keeps the reference's single-device loops
+    mesh = None
+    if args.eval_mesh == "auto" and len(jax.devices()) > 1:
+        from ..parallel import make_mesh
+
+        mesh = make_mesh()
     harness = EvalHarness(trainer.diffusion, model, params,
                           results_folder=_results_folder(args),
                           fid_weights=args.fid_weights, to_lab=args.to_lab,
-                          endpoint_dataset=ds2)
+                          endpoint_dataset=ds2, mesh=mesh)
 
     def first_batch(n=None):
         return np.stack([ds[i] for i in range(min(n or args.batch_size, len(ds)))])
@@ -332,10 +344,15 @@ def run_test(args):
         harness.save_training_data(ds)
     elif tt in ("test_fid_distance_decrease_from_manifold",
                 "train_fid_distance_decrease_from_manifold"):
-        harness.fid_distance_decrease_from_manifold(
+        out = harness.fid_distance_decrease_from_manifold(
             ds, start=args.test_start, end=args.test_end,
             batch_size=args.batch_size,
         )
+        import json
+
+        with open(Path(_results_folder(args)) / "manifold_metrics.json",
+                  "w") as f:
+            json.dump(out, f, indent=2, default=float)
     elif tt == "test_sample_and_save_for_fid":
         harness.sample_and_save_for_fid(batch_size=args.batch_size,
                                         endpoint_dataset=ds2)

@@ -45,9 +45,25 @@ class EvalHarness:
         to_lab: bool = False,
         model_chunk: int = 16,
         endpoint_dataset=None,
+        mesh=None,
     ):
         self.d = diffusion
         self.model = model
+        # Mesh-parallel eval (beyond the reference's single-GPU loops): with a
+        # ``jax.sharding.Mesh``, params replicate across it, eval batches are
+        # sharded along the data axis, and XLA partitions the whole jitted
+        # sampling loop -- the manifold sweep and FID generation are
+        # embarrassingly parallel, so throughput scales with chips.  The
+        # per-shard sub-batch keeps the ``model_chunk`` scheduling fix: the
+        # chunk size scales with the mesh so each device still runs B<=16
+        # programs.
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel import replicate
+
+            params = replicate(params, mesh)
+            if model_chunk:
+                model_chunk = model_chunk * mesh.size
         self.params = params
         # Family-B demixing: degradation endpoints come from a second dataset
         # (demixing_diffusion_pytorch.py:714-730); other ops synthesize their
@@ -137,14 +153,40 @@ class EvalHarness:
                 np.stack([self.endpoint_dataset[int(i)] for i in idx])))
         return x_end
 
+    def _place(self, x):
+        """Shard a batch-major array over the eval mesh (identity without
+        one).  Non-divisible batches stay unsharded (still correct, just
+        unpartitioned) -- hot sweeps pad first via :meth:`_mesh_pad`."""
+        if self.mesh is None or x is None or x.shape[0] % self.mesh.size:
+            return x
+        from ..parallel import shard_batch
+
+        return shard_batch(x, self.mesh)
+
+    def _mesh_pad(self, x):
+        """Pad the batch dim to a mesh multiple (repeat last row); returns
+        ``(padded, real_n)``.  Callers slice outputs back to ``real_n``."""
+        n = x.shape[0]
+        if self.mesh is None:
+            return x, n
+        pad = (-n) % self.mesh.size
+        if pad:
+            x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)])
+        return x, n
+
     def _degrade_start(self, og, rng):
         end_rng, op_rng = jax.random.split(rng)
         x_end = self._sample_x_end(end_rng, og)
         op = self.d.op
         if hasattr(op, "randomize"):
             op = op.randomize(op_rng, og.shape[0])
+        if self.mesh is not None:
+            from ..parallel import replicate
+
+            op = replicate(op, self.mesh)
+        x_end = self._place(x_end)
         start = prepare_start(
-            self.d.replace(op=op), og, x_end=x_end, op_rng=None
+            self.d.replace(op=op), self._place(og), x_end=x_end, op_rng=None
         )
         return start, x_end, op
 
@@ -273,10 +315,11 @@ class EvalHarness:
 
     def _manifold_batch(self, batch, rng, originals, degradeds, sampleds, directs):
         og = jnp.asarray(batch)
-        start, x_end, op = self._degrade_start(self._pre(og), rng)
+        padded, n = self._mesh_pad(self._pre(og))
+        start, x_end, op = self._degrade_start(padded, rng)
         res = self._all_sample(self.d.replace(op=op), start, x_end, rng)
-        rows = [np.asarray(og), self._post(res.xt_trajectory[0]),
-                self._post(res.img), self._post(res.x0_trajectory[0])]
+        rows = [np.asarray(og), self._post(res.xt_trajectory[0])[:n],
+                self._post(res.img)[:n], self._post(res.x0_trajectory[0])[:n]]
         if rows[0].shape[1] > 256:
             # torch F.interpolate(size=64) default mode='nearest'
             # (snowification diffusion.py:1050-1054): src = floor(i * scale)
@@ -325,7 +368,7 @@ class EvalHarness:
                 noise = self._pre(jax.random.normal(
                     nrng, (batch_size, s, s, self.d.channels)
                 ))
-            res = sample_jit(noise, srng)
+            res = sample_jit(self._place(jnp.asarray(noise)), srng)
             img = self._post(res.img)
             imgs = ((np.clip(img, -1, 1) + 1) * 127.5).astype(np.uint8)
             for i in range(imgs.shape[0]):
@@ -580,7 +623,8 @@ class EvalHarness:
             # real images
             n = len(batch)
             batch = batch + [batch[-1]] * (batch_size - n)
-            imgs = self._post(sample_jit(jnp.asarray(np.stack(batch)), rng))
+            imgs = self._post(
+                sample_jit(self._place(jnp.asarray(np.stack(batch))), rng))
             for i in range(n):
                 self._save_png(imgs[i], out / f"sample-x0-{cnt}.png")
                 cnt += 1

@@ -371,12 +371,23 @@ class Trainer:
 
     def snapshot(self, milestone: int, batch_size: Optional[int] = None):
         """EMA sample grids, reference Trainer.train() (:1206-1228)."""
+        sample_fn = self._sample_fn
+        ema_params = self.state.ema_params
+        diffusion = self.diffusion
         if jax.process_count() > 1:
-            # sample grids device_get global arrays; eval offline instead
-            if jax.process_index() == 0:
-                print("snapshot skipped under multi-host "
-                      "(run the eval harness offline)", flush=True)
-            return
+            # multi-host: the jitted global-mesh sampler can't consume this
+            # process's local batch, and non-zero ranks would race on the
+            # grid files.  All ranks first gather EMA + operator state to
+            # full replication (a collective -- every rank must participate;
+            # a no-op when already replicated), then rank 0 alone pulls them
+            # to host and runs a process-local jit with no collectives.
+            gather = jax.jit(lambda t: t,
+                             out_shardings=replicated_sharding(self.mesh))
+            ema_params = jax.device_get(gather(ema_params))
+            diffusion = jax.device_get(self.diffusion)
+            if jax.process_index() != 0:
+                return
+            sample_fn = jax.jit(self._sample_impl, static_argnums=(3,))
         n = batch_size or min(self.batch_size, 36)
         og_rgb = np.stack([next(self.dl) for _ in range(1)])[0][:n]
         og = self._to_model_space(og_rgb)
@@ -386,8 +397,8 @@ class Trainer:
             # periodic sample (demixing_diffusion_pytorch.py:714-730)
             x_end = self._to_model_space(
                 np.stack([next(self.dl2) for _ in range(1)])[0][:n])
-        res = self._sample_fn(
-            self.state.ema_params, self.diffusion, og, None,
+        res = sample_fn(
+            ema_params, diffusion, og, None,
             jax.random.key(self.step), x_end,
         )
 

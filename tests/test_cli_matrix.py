@@ -1,14 +1,14 @@
 """One-step training through the CLI for every degradation operator.
 
 The cheapest full-integration check: argparse -> operator -> diffusion ->
-trainer -> checkpoint, per degradation, on the virtual CPU mesh.
+trainer -> checkpoint, per degradation, on the virtual CPU mesh.  All cases
+run the CLI in-process (tests/_cli.py) -- the ``python -m`` subprocess entry
+point has a single canary in tests/test_eval.py.
 """
 
-import os
-import subprocess
-import sys
-
 import pytest
+
+from tests._cli import run_cli
 
 CASES = {
     "blur": ["--blur_size", "3", "--blur_std", "1.0", "--blur_routine", "Constant"],
@@ -25,8 +25,8 @@ CASES = {
 
 @pytest.mark.parametrize("degradation", sorted(CASES))
 def test_cli_one_step_train(tmp_path, degradation):
-    cmd = [
-        sys.executable, "-m", "colddiff.cli.main", "train",
+    run_cli([
+        "train",
         "--degradation", degradation, "--dataset", "synthetic",
         "--image_size", "16", "--time_steps", "3",
         "--model", "UnetConvNext", "--dim", "8",
@@ -34,13 +34,7 @@ def test_cli_one_step_train(tmp_path, degradation):
         "--save_and_sample_every", "100",
         "--save_folder", str(tmp_path / "out"),
         *CASES[degradation],
-    ]
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env.pop("PALLAS_AXON_POOL_IPS", None)
-    r = subprocess.run(cmd, capture_output=True, text=True, env=env,
-                       cwd="/root/repo", timeout=600)
-    assert r.returncode == 0, r.stderr[-2000:]
+    ])
     assert (tmp_path / "out" / "model").exists()
 
 
@@ -55,8 +49,8 @@ def test_cli_mix_two_datasets(tmp_path):
         arr = (rng.random((18, 18, 3)) * 255).astype(np.uint8)
         Image.fromarray(arr).save(folder2 / f"{i}.png")
 
-    cmd = [
-        sys.executable, "-m", "colddiff.cli.main", "train",
+    run_cli([
+        "train",
         "--degradation", "mix", "--dataset", "synthetic",
         "--data_path_2", str(folder2),
         "--image_size", "16", "--time_steps", "3",
@@ -64,49 +58,35 @@ def test_cli_mix_two_datasets(tmp_path):
         "--batch_size", "8", "--train_steps", "2", "--grad_accum", "1",
         "--save_and_sample_every", "2",
         "--save_folder", str(tmp_path / "out"),
-    ]
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env.pop("PALLAS_AXON_POOL_IPS", None)
-    r = subprocess.run(cmd, capture_output=True, text=True, env=env,
-                       cwd="/root/repo", timeout=600)
-    assert r.returncode == 0, r.stderr[-2000:]
+    ])
     # the periodic snapshot must sample with dataset-2 endpoints (the
     # Family-B sample path used to assert without them)
     assert (tmp_path / "out" / "sample-1.png").exists()
 
     # and the eval harness must source endpoints from --data_path_2 too
-    r = subprocess.run(
-        [sys.executable, "-m", "colddiff.cli.main", "test",
-         "--degradation", "mix", "--dataset", "synthetic",
-         "--data_path_2", str(folder2),
-         "--image_size", "16", "--time_steps", "3",
-         "--model", "UnetConvNext", "--dim", "8", "--batch_size", "4",
-         "--test_type", "test_data", "--save_folder", str(tmp_path / "eval")],
-        capture_output=True, text=True, env=env, cwd="/root/repo",
-        timeout=600)
-    assert r.returncode == 0, r.stderr[-2000:]
+    run_cli([
+        "test",
+        "--degradation", "mix", "--dataset", "synthetic",
+        "--data_path_2", str(folder2),
+        "--image_size", "16", "--time_steps", "3",
+        "--model", "UnetConvNext", "--dim", "8", "--batch_size", "4",
+        "--test_type", "test_data", "--save_folder", str(tmp_path / "eval"),
+    ])
     assert list((tmp_path / "eval").glob("*.png"))
 
 
 def test_cli_to_lab_decolor_train(tmp_path):
     """Lab-space end-to-end: rgb2lab batches, lab-space decolor operator,
     lab2rgb sample grids (snowification --to_lab, diffusion.py:613-625)."""
-    cmd = [
-        sys.executable, "-m", "colddiff.cli.main", "train",
+    run_cli([
+        "train",
         "--degradation", "decolor", "--decolor_routine", "Linear", "--to_lab",
         "--dataset", "synthetic", "--image_size", "16", "--time_steps", "3",
         "--model", "UnetConvNext", "--dim", "8",
         "--batch_size", "8", "--train_steps", "1", "--grad_accum", "1",
         "--save_and_sample_every", "1",
         "--save_folder", str(tmp_path / "out"),
-    ]
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env.pop("PALLAS_AXON_POOL_IPS", None)
-    r = subprocess.run(cmd, capture_output=True, text=True, env=env,
-                       cwd="/root/repo", timeout=600)
-    assert r.returncode == 0, r.stderr[-2000:]
+    ])
     # sample grid artifacts were converted back to rgb and saved
     assert (tmp_path / "out" / "sample-1.png").exists()
     assert (tmp_path / "out" / "og-1.png").exists()
@@ -118,20 +98,14 @@ def test_cli_paper_figures_dispatch(tmp_path):
         ("test_paper_invert_section_images", "all_0.png"),
         ("test_paper_showing_sampling_diff_images", "x0_alg1_0.png"),
     ]:
-        cmd = [
-            sys.executable, "-m", "colddiff.cli.main", "test",
+        run_cli([
+            "test",
             "--degradation", "blur", "--blur_size", "3", "--blur_std", "1.0",
             "--blur_routine", "Constant",
             "--dataset", "synthetic", "--image_size", "16", "--time_steps", "3",
             "--model", "UnetConvNext", "--dim", "8", "--batch_size", "4",
             "--test_type", tt, "--save_folder", str(tmp_path / tt),
-        ]
-        env = dict(os.environ)
-        env["JAX_PLATFORMS"] = "cpu"
-        env.pop("PALLAS_AXON_POOL_IPS", None)
-        r = subprocess.run(cmd, capture_output=True, text=True, env=env,
-                           cwd="/root/repo", timeout=600)
-        assert r.returncode == 0, r.stderr[-2000:]
+        ])
         assert (tmp_path / tt / artifact).exists()
 
 
@@ -139,39 +113,27 @@ def test_cli_vector_gmm_and_alias_dispatch(tmp_path):
     """The Family-B vector-GMM --test_type names and the reference-exact
     aliases dispatch end-to-end; dead upstream names fail loudly."""
     base = [
-        sys.executable, "-m", "colddiff.cli.main", "test",
+        "test",
         "--degradation", "noise",
         "--dataset", "synthetic", "--image_size", "16", "--time_steps", "3",
         "--model", "UnetConvNext", "--dim", "8", "--batch_size", "4",
         "--test_end", "5", "--gmm_size", "4", "--gmm_cluster", "2",
     ]
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env.pop("PALLAS_AXON_POOL_IPS", None)
 
     out = tmp_path / "savegmm"
-    r = subprocess.run(
-        base + ["--test_type", "train_distribution_save_gmm",
-                "--save_folder", str(out)],
-        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=600)
-    assert r.returncode == 0, r.stderr[-2000:]
+    run_cli(base + ["--test_type", "train_distribution_save_gmm",
+                    "--save_folder", str(out)])
     # reference dir naming: <results>_<siz>_<clusters> next to the results dir
     dumps = list(out.parent.glob("**/sample-x0-*.png"))
     assert len(dumps) == 5, dumps
 
     out2 = tmp_path / "fromdata"
-    r = subprocess.run(
-        base + ["--test_type", "sample_from_train_data",
-                "--test_start", "0", "--save_folder", str(out2)],
-        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=600)
-    assert r.returncode == 0, r.stderr[-2000:]
+    run_cli(base + ["--test_type", "sample_from_train_data",
+                    "--test_start", "0", "--save_folder", str(out2)])
 
-    r = subprocess.run(
-        base + ["--test_type", "train_distribution_cov_vector",
-                "--save_folder", str(tmp_path / "dead")],
-        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=600)
-    assert r.returncode != 0
-    assert "dead in the reference" in (r.stderr + r.stdout)
+    with pytest.raises(SystemExit, match="dead in the reference"):
+        run_cli(base + ["--test_type", "train_distribution_cov_vector",
+                        "--save_folder", str(tmp_path / "dead")])
 
 
 def test_bf16_training_decreases_loss(tmp_path):
@@ -187,9 +149,6 @@ def test_cli_train_then_test_from_checkpoint(tmp_path):
     """Full user round trip: train + checkpoint via the CLI, then run the
     eval harness from that checkpoint with ``test --load_path`` (the path
     that broke when Orbax restored numpy leaves into the operator pytree)."""
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env.pop("PALLAS_AXON_POOL_IPS", None)
     base = [
         "--degradation", "blur", "--blur_size", "3", "--blur_std", "1.0",
         "--blur_routine", "Constant",
@@ -197,20 +156,14 @@ def test_cli_train_then_test_from_checkpoint(tmp_path):
         "--model", "UnetConvNext", "--dim", "8",
     ]
     res = tmp_path / "results"
-    r = subprocess.run(
-        [sys.executable, "-m", "colddiff.cli.main", "train", *base,
-         "--batch_size", "8", "--train_steps", "2", "--grad_accum", "1",
-         "--save_and_sample_every", "2", "--save_folder", str(res)],
-        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=600)
-    assert r.returncode == 0, r.stderr[-2000:]
+    run_cli(["train", *base,
+             "--batch_size", "8", "--train_steps", "2", "--grad_accum", "1",
+             "--save_and_sample_every", "2", "--save_folder", str(res)])
     ckpt = res / "model"
     assert ckpt.exists()
 
     out = tmp_path / "eval"
-    r = subprocess.run(
-        [sys.executable, "-m", "colddiff.cli.main", "test", *base,
-         "--batch_size", "4", "--test_type", "test_data", "--load_path", str(ckpt),
-         "--save_folder", str(out)],
-        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=600)
-    assert r.returncode == 0, r.stderr[-2000:]
+    run_cli(["test", *base,
+             "--batch_size", "4", "--test_type", "test_data",
+             "--load_path", str(ckpt), "--save_folder", str(out)])
     assert list(out.glob("*.png")), "test_from_data wrote no grids"

@@ -52,13 +52,24 @@ def test_degrade_range_discrete_collapse(rng):
     assert np.allclose(y, y.mean(axis=(1, 2), keepdims=True), atol=1e-6)
 
 
-def test_degrade_range_unsupported():
+def test_degrade_range_family_b(rng):
+    # closed-form ratio interpolation: advancing x_{n0} -> x_{n1} without x0
+    # must equal degrading x0 straight to n1 (added round 3; the endpoint is
+    # required for the partial chain)
     op = get_operator("noise", timesteps=4)
+    x0 = jnp.asarray(rng.uniform(-1, 1, (2, 8, 8, 3)).astype(np.float32))
+    x_end = jnp.asarray(rng.standard_normal((2, 8, 8, 3)).astype(np.float32))
+    n0 = jnp.full((2,), 1, jnp.int32)
+    x1 = op.degrade(x0, n0, x_end=x_end)
+    got = op.degrade_range(x1, 1, 3, x_end=x_end)
+    want = op.degrade(x0, jnp.full((2,), 3, jnp.int32), x_end=x_end)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+    # missing endpoint fails loudly
     try:
-        op.degrade_range(jnp.zeros((1, 8, 8, 3)), 1, 3)
-        raise AssertionError("expected NotImplementedError")
-    except NotImplementedError:
-        pass
+        op.degrade_range(x1, 1, 3)
+        raise AssertionError("expected AssertionError for missing x_end")
+    except AssertionError as e:
+        assert "endpoint" in str(e)
 
 
 def test_all_sample_traj_stride(tmp_path, rng):

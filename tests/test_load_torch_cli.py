@@ -3,10 +3,6 @@ deblurring_diffusion_pytorch.py:1140-1149) via Trainer(load_torch_path=...)
 and the CLI --load_torch_path flag — the migration path for users bringing
 their reference-trained .pt files to colddiff."""
 
-import os
-import subprocess
-import sys
-
 import jax
 import numpy as np
 import pytest
@@ -87,8 +83,10 @@ def test_cli_test_from_torch_checkpoint(tmp_path):
     pt = tmp_path / "model.pt"
     _save_reference_blob(pt, sd, sd, step=3)
 
-    cmd = [
-        sys.executable, "-m", "colddiff.cli.main", "test",
+    from tests._cli import run_cli
+
+    run_cli([
+        "test",
         "--test_type", "test_data",
         "--degradation", "blur", "--dataset", "synthetic",
         "--image_size", "16", "--time_steps", "3",
@@ -97,10 +95,5 @@ def test_cli_test_from_torch_checkpoint(tmp_path):
         "--blur_size", "3", "--blur_std", "1.0", "--blur_routine", "Constant",
         "--save_folder", str(tmp_path / "out"),
         "--load_torch_path", str(pt),
-    ]
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env.pop("PALLAS_AXON_POOL_IPS", None)
-    r = subprocess.run(cmd, capture_output=True, text=True, env=env,
-                       cwd="/root/repo", timeout=600)
-    assert r.returncode == 0, r.stderr[-2000:]
+    ])
+    assert list((tmp_path / "out").glob("*.png"))

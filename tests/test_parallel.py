@@ -169,3 +169,44 @@ def test_spatial_sharded_sampling_matches_single_device():
     sharded = jax.jit(run)(xs, ps)
     np.testing.assert_allclose(jax.device_get(sharded), single,
                                rtol=2e-5, atol=2e-5)
+
+
+def test_mesh_eval_harness_matches_single_device(tmp_path):
+    """The mesh-parallel EvalHarness (beyond-reference: shards eval sweeps
+    over the data mesh) produces the same manifold metrics as the
+    single-device harness, and its batches are actually partitioned."""
+    from colddiff.data.datasets import SyntheticDataset
+    from colddiff.diffusion import ColdDiffusion
+    from colddiff.eval import EvalHarness
+    from colddiff.models import UnetConvNext
+    from colddiff.operators import get_operator
+
+    op = get_operator("blur", image_size=16, timesteps=3,
+                      blur_routine="Constant", kernel_size=3, kernel_std=1.0)
+    d = ColdDiffusion(op=op, image_size=16, channels=3,
+                      sampling_routine="x0_step_down")
+    model = UnetConvNext(dim=8, dim_mults=(1, 2), channels=3)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)),
+                        jnp.zeros((1,), jnp.int32))
+    ds = SyntheticDataset(16, 3, length=12)
+
+    h1 = EvalHarness(d, model, params, results_folder=str(tmp_path / "s"))
+    h8 = EvalHarness(d, model, params, results_folder=str(tmp_path / "m"),
+                     mesh=make_mesh())
+    # the mesh harness replicates params and actually shards placed batches
+    assert jax.tree_util.tree_leaves(h8.params)[0].sharding.is_fully_replicated
+    placed = h8._place(jnp.zeros((8, 16, 16, 3)))
+    assert placed.sharding.spec == P("data")
+    # non-divisible batches pad to a mesh multiple and slice back
+    padded, n = h8._mesh_pad(jnp.zeros((5, 16, 16, 3)))
+    assert padded.shape[0] == 8 and n == 5
+
+    # end=6 is not a mesh multiple: exercises the pad path too
+    m1 = h1.fid_distance_decrease_from_manifold(ds, end=6, batch_size=6)
+    m8 = h8.fid_distance_decrease_from_manifold(ds, end=6, batch_size=6)
+    for k in ("rmse_degraded", "rmse_sampled", "rmse_direct",
+              "ssim_degraded", "ssim_sampled", "ssim_direct"):
+        np.testing.assert_allclose(m1[k], m8[k], rtol=1e-4, atol=1e-5)
+
+    out = h8.sample_and_save_for_fid(num=5, batch_size=8)
+    assert len(list(out.glob("*.png"))) == 5
