@@ -53,6 +53,13 @@ class SinusoidalPosEmb(nn.Module):
         return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
 
 
+def _stat_dtype(x):
+    """Statistics (mean/var/softmax) run in at-least-fp32: bf16 accumulation
+    over 16k tokens / wide channels is where half precision actually loses
+    bits; the matmuls' MXU accumulators are fp32 regardless of input dtype."""
+    return jnp.promote_types(x.dtype, jnp.float32)
+
+
 class ChannelLayerNorm(nn.Module):
     """Per-pixel channel LayerNorm with biased variance (deblurring...py:111-121)."""
 
@@ -63,9 +70,11 @@ class ChannelLayerNorm(nn.Module):
         c = x.shape[-1]
         g = self.param("scale", nn.initializers.ones, (c,))
         b = self.param("bias", nn.initializers.zeros, (c,))
-        mean = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.var(x, axis=-1, keepdims=True)
-        return (x - mean) / jnp.sqrt(var + self.eps) * g + b
+        xf = x.astype(_stat_dtype(x))
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        xn = ((xf - mean) / jnp.sqrt(var + self.eps)).astype(x.dtype)
+        return xn * g + b
 
 
 def group_norm_swish(x, gamma, beta, num_groups: int, eps: float = 1e-6,
@@ -76,10 +85,10 @@ def group_norm_swish(x, gamma, beta, num_groups: int, eps: float = 1e-6,
     (docs/ROADMAP.md round-2 notes)."""
     b, h, w, c = x.shape
     g = num_groups
-    xg = x.reshape(b, h * w, g, c // g)
+    xg = x.reshape(b, h * w, g, c // g).astype(_stat_dtype(x))
     mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
     var = jnp.var(xg, axis=(1, 3), keepdims=True)
-    xn = (xg - mean) * jax.lax.rsqrt(var + eps)
+    xn = ((xg - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
     xn = xn.reshape(b, h, w, c) * gamma + beta
     return xn * jax.nn.sigmoid(xn) if swish else xn
 
@@ -219,7 +228,9 @@ def linear_attention_folded(xt, wqkv, wout, bout, heads: int, scale: float):
     # Pallas online-softmax context kernel measured SLOWER (866 us) and was
     # deleted per the no-losing-kernels policy (scripts/bench_attn.py).
     kv = jnp.einsum("bnc,ck->bnk", xt, wqkv[:, hidden:])
-    ks = jax.nn.softmax(kv[..., :hidden], axis=1)
+    # token softmax in fp32: a bf16 exp-sum over N=16k tokens loses ~7 bits
+    ks = jax.nn.softmax(kv[..., :hidden].astype(_stat_dtype(kv)),
+                        axis=1).astype(xt.dtype)
     ctx = jnp.einsum("bnd,bne->bde", ks, kv[..., hidden:]) * mask
     w1 = jnp.einsum("cd,bde->bce", wqkv[:, :hidden] * scale, ctx)
     if c <= hidden:
@@ -285,8 +296,8 @@ class SoftmaxAttention(nn.Module):
         q = nn.Conv(c, (1, 1), name="q")(h).reshape(b, hgt * wid, c)
         k = nn.Conv(c, (1, 1), name="k")(h).reshape(b, hgt * wid, c)
         v = nn.Conv(c, (1, 1), name="v")(h).reshape(b, hgt * wid, c)
-        w = jnp.einsum("bic,bjc->bij", q, k) * (c**-0.5)
-        w = jax.nn.softmax(w, axis=2)
+        w = jnp.einsum("bic,bjc->bij", q, k).astype(_stat_dtype(q)) * (c**-0.5)
+        w = jax.nn.softmax(w, axis=2).astype(q.dtype)
         out = jnp.einsum("bij,bjc->bic", w, v).reshape(b, hgt, wid, c)
         return x + nn.Conv(c, (1, 1), name="proj_out")(out)
 

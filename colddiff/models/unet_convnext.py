@@ -51,7 +51,11 @@ class UnetConvNext(nn.Module):
         orig_x = x
         t = None
         if self.with_time_emb and time is not None:
-            t = SinusoidalPosEmb(self.dim, name="time_emb")(time)
+            # sin/cos computed fp32 then cast to the activation dtype: an
+            # fp32 embedding would otherwise promote every downstream conv
+            # to fp32 and silently defeat bf16 compute (the round-2 "bf16
+            # doesn't pay" finding was exactly this leak)
+            t = SinusoidalPosEmb(self.dim, name="time_emb")(time).astype(x.dtype)
             t = nn.Dense(self.dim * 4, name="time_mlp1")(t)
             t = gelu(t)
             t = nn.Dense(self.dim, name="time_mlp2")(t)

@@ -101,7 +101,9 @@ class UnetResNet(nn.Module):
         temb_ch = self.ch * 4
         temb = None
         if self.with_time_emb and t is not None:
-            temb = timestep_embedding(t, self.ch)
+            # cast the fp32 sin/cos table to the activation dtype so a bf16
+            # model stays bf16 (an fp32 temb promotes every block to fp32)
+            temb = timestep_embedding(t, self.ch).astype(x.dtype)
             temb = nn.Dense(temb_ch, name="temb_dense0")(temb)
             temb = nn.Dense(temb_ch, name="temb_dense1")(swish(temb))
 

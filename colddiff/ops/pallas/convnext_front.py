@@ -73,9 +73,12 @@ def convnext_front_reference(x, w, b, cond, gamma, beta, *, norm=True,
     if cond is not None:
         h = h + cond[:, None, None, :]
     if norm:
-        mean = jnp.mean(h, axis=-1, keepdims=True)
-        var = jnp.var(h, axis=-1, keepdims=True)
-        h = (h - mean) * jax.lax.rsqrt(var + eps) * gamma + beta
+        # stats in at-least-fp32 (matches ChannelLayerNorm and the Pallas
+        # kernel, whose taps and stats are always fp32)
+        hf = h.astype(jnp.promote_types(h.dtype, jnp.float32))
+        mean = jnp.mean(hf, axis=-1, keepdims=True)
+        var = jnp.var(hf, axis=-1, keepdims=True)
+        h = ((hf - mean) * jax.lax.rsqrt(var + eps)).astype(h.dtype) * gamma + beta
     return h
 
 
@@ -335,11 +338,15 @@ def convnext_front(x, w, b, cond, gamma, beta, *, norm: bool = True,
         not os.environ.get("COLDDIFF_NO_PALLAS")
         and jax.default_backend() == "tpu"
         and pallas_supported(x)
-        # fp32 compute only: the kernel's fp32 taps beat XLA's fp32 conv
-        # (which detours through bf16 passes, 1.4e-2 error), but XLA's
-        # *native-bf16* conv beats the kernel when the whole model computes
-        # in bf16 (measured -4% end-to-end with the kernel forced on)
-        and jnp.promote_types(x.dtype, w.dtype) == jnp.float32
+        # fp32 AND bf16 compute: fp32 taps beat XLA's fp32 conv (which
+        # detours through bf16 passes, 1.4e-2 error), and in bf16 the
+        # kernel reads half the bytes with the same fp32 taps -- measured
+        # 901 vs 1369 us at the level-0 shape AND 1.6x more accurate
+        # (round 2 had gated bf16 off from a -4% end-to-end measurement,
+        # but that model silently ran fp32 compute everywhere: the fp32
+        # time embedding promoted the whole graph; see models/layers.py)
+        and jnp.promote_types(x.dtype, w.dtype)
+        in (jnp.float32, jnp.bfloat16)
     )
     if force == "xla" or (force is None and not use_pallas):
         return convnext_front_reference(x, w, b, cond, gamma, beta, norm=norm,

@@ -43,7 +43,7 @@ def time_model(model, params, x, t):
         @jax.jit
         def run(x, t):
             return jax.lax.fori_loop(
-                0, k, lambda i, y: model.apply(params, y, t), x)
+                0, k, lambda i, y: model.apply(params, y, t).astype(y.dtype), x)
         return run
 
     return (time_call(looped(K), x, t) - time_call(looped(1), x, t)) / (K - 1)

@@ -71,3 +71,28 @@ def test_get_model_selector():
     assert isinstance(m, UnetResNet) and m.resolution == 32
     with pytest.raises(ValueError):
         get_model("Nope")
+
+
+def test_bf16_params_keep_bf16_compute():
+    """bf16 params + bf16 input must stay bf16 through the whole graph.
+
+    Regression guard for the round-2 "bf16 doesn't pay" artifact: the fp32
+    sinusoidal time embedding promoted every downstream conv to fp32, so the
+    "bf16" benchmark silently ran fp32 compute.  The output dtype is the
+    canary (any fp32 leak promotes it), and the values must track fp32."""
+    rng = np.random.default_rng(0)
+    x32 = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    t = jnp.asarray([3, 7])
+    for model in (
+        UnetConvNext(dim=16, dim_mults=(1, 2)),
+        UnetResNet(resolution=32, ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                   attn_resolutions=(16,)),
+    ):
+        params = model.init(jax.random.key(0), x32, t)
+        ref = model.apply(params, x32, t)
+        pb = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16), params)
+        out = model.apply(pb, x32.astype(jnp.bfloat16), t)
+        assert out.dtype == jnp.bfloat16, f"fp32 leak in {type(model).__name__}"
+        err = float(jnp.max(jnp.abs(ref - out.astype(jnp.float32))))
+        assert err < 0.1, f"{type(model).__name__} bf16 diverges: {err}"
