@@ -95,6 +95,35 @@ def main():
         results["sweep"].append(entry)
         print(json.dumps(entry), flush=True)
 
+    # quality of the pinned bench recipe (bf16 UNet compute, fp32 sampler
+    # math) vs full-fp32 on the same checkpoint: the headline number's
+    # precision recipe carries its own quality record too
+    pb = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16)
+        if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
+
+    def denoise_bf16(x, t):
+        def one(xc, tc):
+            return model.apply(pb, xc.astype(jnp.bfloat16), tc).astype(
+                jnp.float32)
+        if x.shape[0] > 16:
+            return apply_in_chunks(one, 16, x, t)
+        return one(x, t)
+
+    imgb = jax.jit(lambda img, rng: sample(
+        d, denoise_bf16, img, rng=rng).img)(start, jax.random.key(0))
+    imgb = jnp.clip(imgb, -1, 1)
+    results["bf16_compute_refresh1"] = {
+        "rmse": float(rmse((og + 1) / 2, (imgb + 1) / 2)),
+        "ssim": float(ssim(og, imgb)),
+        f"{'proxy_' if not feats.is_inception else ''}fid": float(
+            calculate_fid_given_samples(
+                [np.asarray(og), np.asarray(imgb)], batch_size=32,
+                features=feats)),
+    }
+    print(json.dumps({"bf16_compute_refresh1":
+                      results["bf16_compute_refresh1"]}), flush=True)
+
     # compact summary bench.py attaches to its refresh4 throughput number
     by_k = {e["refresh_every"]: e for e in results["sweep"]}
     fid_key = "proxy_fid" if not feats.is_inception else "fid"
