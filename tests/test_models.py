@@ -96,3 +96,21 @@ def test_bf16_params_keep_bf16_compute():
         assert out.dtype == jnp.bfloat16, f"fp32 leak in {type(model).__name__}"
         err = float(jnp.max(jnp.abs(ref - out.astype(jnp.float32))))
         assert err < 0.1, f"{type(model).__name__} bf16 diverges: {err}"
+
+
+def test_gelu_precision_dispatch():
+    """fp32+ uses the exact erf GELU (torch-parity goldens depend on it);
+    sub-fp32 activations use the tanh form (erf costs +2.5 ms/call on the
+    bf16 UNet forward for a sub-bf16-quantization value difference)."""
+    from colddiff.models.layers import gelu
+
+    v = jnp.linspace(-4.0, 4.0, 257)
+    for dt in (jnp.float32, jnp.float64):
+        x = v.astype(dt)
+        assert bool(jnp.all(gelu(x) == jax.nn.gelu(x, approximate=False)))
+    xb = v.astype(jnp.bfloat16)
+    assert bool(jnp.all(gelu(xb) == jax.nn.gelu(xb, approximate=True)))
+    # the two forms agree below bf16 resolution on real activations
+    err = jnp.max(jnp.abs(jax.nn.gelu(v, approximate=False)
+                          - jax.nn.gelu(v, approximate=True)))
+    assert float(err) < 5e-4
