@@ -60,8 +60,11 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
 
 def _conv_bn(p, prefix, x, stride=(1, 1), padding="VALID"):
     w = p[prefix + ".conv.weight"]  # already HWIO
+    # HIGHEST: on TPU the default bf16 conv inputs would make the feature
+    # graph deviate from the torch goldens / pytorch-fid numbers
     x = jax.lax.conv_general_dilated(
-        x, w, stride, padding, dimension_numbers=("NHWC", "HWIO", "NHWC")
+        x, w, stride, padding, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST,
     )
     mean = p[prefix + ".bn.running_mean"]
     var = p[prefix + ".bn.running_var"]
@@ -248,9 +251,11 @@ def fid_features_fn(weights_path: Optional[str] = None) -> Callable:
         b = x.shape[0]
         x = jax.image.resize(x, (b, 64, 64, 3), method="bilinear")
         x = jax.nn.relu(jax.lax.conv_general_dilated(
-            x, w1, (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")))
+            x, w1, (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST))
         x = jax.nn.relu(jax.lax.conv_general_dilated(
-            x, w2, (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")))
+            x, w2, (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST))
         return jnp.mean(x, axis=(1, 2))
 
     features.is_inception = False

@@ -32,7 +32,8 @@ def _log_prob(gmm: GMM, x: jnp.ndarray) -> jnp.ndarray:
     linv = jax.scipy.linalg.solve_triangular(
         chol, jnp.broadcast_to(jnp.eye(d), chol.shape), lower=True
     )  # [K, D, D]
-    sol = jnp.einsum("kde,nke->nkd", linv, diff)
+    sol = jnp.einsum("kde,nke->nkd", linv, diff,
+                 precision=jax.lax.Precision.HIGHEST)
     maha = jnp.sum(sol**2, axis=-1)
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1)
     return (
@@ -61,9 +62,12 @@ def fit_gmm(
         logr = logp - jax.scipy.special.logsumexp(logp, axis=1, keepdims=True)
         r = jnp.exp(logr)  # responsibilities
         nk = jnp.sum(r, axis=0) + 1e-10  # [K]
-        means = (r.T @ x) / nk[:, None]
+        # HIGHEST: EM statistics on TPU must not run on bf16 inputs
+        means = jnp.einsum("nk,nd->kd", r, x,
+                           precision=jax.lax.Precision.HIGHEST) / nk[:, None]
         diff = x[:, None, :] - means[None]  # [N, K, D]
-        covs = jnp.einsum("nk,nkd,nke->kde", r, diff, diff) / nk[:, None, None]
+        covs = jnp.einsum("nk,nkd,nke->kde", r, diff, diff,
+                          precision=jax.lax.Precision.HIGHEST) / nk[:, None, None]
         covs = covs + reg * jnp.eye(d)[None]
         return GMM(nk / n, means, covs), None
 
@@ -77,4 +81,5 @@ def sample_gmm(gmm: GMM, rng: jax.Array, num: int) -> jnp.ndarray:
     comp = jax.random.categorical(k_rng, jnp.log(gmm.weights), shape=(num,))
     chol = jnp.linalg.cholesky(gmm.covs)  # [K, D, D]
     z = jax.random.normal(g_rng, (num, gmm.means.shape[-1]))
-    return gmm.means[comp] + jnp.einsum("nde,ne->nd", chol[comp], z)
+    return gmm.means[comp] + jnp.einsum(
+        "nde,ne->nd", chol[comp], z, precision=jax.lax.Precision.HIGHEST)

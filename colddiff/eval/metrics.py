@@ -17,18 +17,23 @@ __all__ = ["ssim", "rmse", "psnr"]
 
 
 def _gauss_filter(x: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
-    """Separable valid-mode Gaussian filter on NHWC."""
+    """Separable valid-mode Gaussian filter on NHWC.
+
+    precision=HIGHEST is load-bearing: SSIM's variance terms are the
+    cancellation E[x^2] - mu^2, and on TPU the default bf16 conv inputs
+    corrupt them badly enough to push SSIM outside [-1, 1] entirely
+    (observed 1.24 on a near-perfect reconstruction)."""
     c = x.shape[-1]
     k = win.shape[0]
     wh = jnp.tile(win.reshape(k, 1, 1, 1), (1, 1, 1, c))
     ww = jnp.tile(win.reshape(1, k, 1, 1), (1, 1, 1, c))
     y = jax.lax.conv_general_dilated(
         x, wh, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c,
+        feature_group_count=c, precision=jax.lax.Precision.HIGHEST,
     )
     return jax.lax.conv_general_dilated(
         y, ww, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c,
+        feature_group_count=c, precision=jax.lax.Precision.HIGHEST,
     )
 
 
