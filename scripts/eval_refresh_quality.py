@@ -110,8 +110,16 @@ def main():
             return apply_in_chunks(one, 16, x, t)
         return one(x, t)
 
-    imgb = jax.jit(lambda img, rng: sample(
-        d, denoise_bf16, img, rng=rng).img)(start, jax.random.key(0))
+    fnb = jax.jit(lambda img, rng: sample(d, denoise_bf16, img, rng=rng).img)
+    for attempt in range(3):  # the remote-compile tunnel flakes occasionally
+        try:
+            imgb = fnb(start, jax.random.key(0))
+            float(jnp.sum(imgb))
+            break
+        except Exception:
+            if attempt == 2:
+                raise
+            time.sleep(15)
     imgb = jnp.clip(imgb, -1, 1)
     results["bf16_compute_refresh1"] = {
         "rmse": float(rmse((og + 1) / 2, (imgb + 1) / 2)),
