@@ -186,6 +186,13 @@ def main():
         if b == BATCH:
             headline_ips = ips_b
 
+    if headline_ips == 0.0:
+        # The B=16 bf16 run IS the pinned protocol: without it there is no
+        # headline. Fail loudly instead of printing value=0.0 as if measured.
+        raise SystemExit(
+            "bench protocol v3 FAILED: the pinned B=16 bf16 measurement did "
+            f"not complete ({extras.get('batch16_error', 'unknown error')})")
+
     img16 = jnp.asarray(rng.standard_normal((BATCH, IMG, IMG, 3)), dtype=jnp.float32)
     ours_fp32, p_fp32 = make_ours(False)
     dt32, _ = time_fn(ours_fp32, p_fp32, img16)

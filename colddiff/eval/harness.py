@@ -96,9 +96,13 @@ class EvalHarness:
         # the diffusion (with its operator state) is a jit *argument*, not a
         # closure: randomized operators (fade crops, random snow) change per
         # batch and must reach the reverse loop (see _degrade_start)
-        self._all_sample = jax.jit(
-            lambda d, img, x_end, rng: all_sample(d, self.denoise, img,
-                                                  x_end=x_end, rng=rng)
+        # plain sample(), NOT all_sample(): the manifold harness consumes
+        # only xt / direct_recons / img, all of which sample() returns
+        # without materializing the two [T, B, H, W, C] trajectory buffers
+        # (~2.5 GB at T=200/B=32/128px fp32) that all_sample allocates
+        self._sample = jax.jit(
+            lambda d, img, x_end, rng: sample(d, self.denoise, img,
+                                              x_end=x_end, rng=rng)
         )
 
     @property
@@ -317,9 +321,9 @@ class EvalHarness:
         og = jnp.asarray(batch)
         padded, n = self._mesh_pad(self._pre(og))
         start, x_end, op = self._degrade_start(padded, rng)
-        res = self._all_sample(self.d.replace(op=op), start, x_end, rng)
-        rows = [np.asarray(og), self._post(res.xt_trajectory[0])[:n],
-                self._post(res.img)[:n], self._post(res.x0_trajectory[0])[:n]]
+        res = self._sample(self.d.replace(op=op), start, x_end, rng)
+        rows = [np.asarray(og), self._post(res.xt)[:n],
+                self._post(res.img)[:n], self._post(res.direct_recons)[:n]]
         if rows[0].shape[1] > 256:
             # torch F.interpolate(size=64) default mode='nearest'
             # (snowification diffusion.py:1050-1054): src = floor(i * scale)

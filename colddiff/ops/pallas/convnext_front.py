@@ -38,10 +38,13 @@ Design:
 
 Dispatch: ON by default on TPU for supported shapes (128 % C == 0 -- level 0
 of both UNet families; C >= 128 stays on XLA, which is already near the
-bandwidth floor there: 183 us at (16,64,64,128) vs 519+ us for kernels) when
-the promoted compute dtype is fp32.  Pure-bf16 models stay on XLA: its
-native-bf16 conv beats the kernel's fp32 taps there (measured -4% end-to-end
-with the kernel forced on in a bf16 UNet).  COLDDIFF_NO_PALLAS=1 disables.
+bandwidth floor there: 183 us at (16,64,64,128) vs 519+ us for kernels) for
+BOTH fp32 and bf16 compute.  In bf16 the kernel reads half the bytes while
+keeping true fp32 taps: 901 us vs XLA's 1369 us at the level-0 shape and
+1.6x more accurate.  (Round 2 briefly gated bf16 off from a -4% end-to-end
+measurement; that was an artifact -- the fp32 time embedding silently
+promoted the whole "bf16" model to fp32 compute.  With the leak fixed the
+kernel wins in both dtypes.)  COLDDIFF_NO_PALLAS=1 disables.
 """
 
 from __future__ import annotations
@@ -250,10 +253,18 @@ def _partitioned_forward(norm: bool, eps: float, interpret: bool):
     the SPMD partitioner treats the Mosaic custom call as unpartitionable and
     gathers the full batch onto every chip at each block front (correct but
     defeats data parallelism).  The shardy ``sharding_rule`` shares the batch
-    factor between x, cond, and the output and marks every other dimension
-    replication-required; the ``partition`` callback serves the GSPMD path.
-    Multi-device correctness is pinned on the virtual CPU mesh in
-    tests/test_pallas.py (interpret mode runs through this same wrapper).
+    and image-row factors between x and the output; the ``partition``
+    callback serves the GSPMD path.
+
+    Spatially-sharded inputs (``image_sharding``'s P('data', 'space') on
+    NHWC rows) are handled natively: the only cross-row dependency is the
+    7x7 depthwise conv's 3-row halo, so the partition callback emits a
+    collective-permute halo exchange (edge shards receive ppermute's zeros
+    == the conv's own zero padding) around the plain-XLA front on the local
+    block -- NO all-gather of the row axis, and no env var needed for
+    pure-SP runs (round-3 review item 9).  Multi-device correctness for
+    both paths is pinned on the virtual CPU mesh in tests/test_pallas.py /
+    tests/test_parallel.py (interpret mode runs through this same wrapper).
     """
     from jax.experimental.custom_partitioning import custom_partitioning
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -266,20 +277,56 @@ def _partitioned_forward(norm: bool, eps: float, interpret: bool):
 
     def partition(mesh, arg_shapes, result_shape):
         x_sh = arg_shapes[0].sharding
-        xs = _batch_only_sharding(x_sh, 4)
+        spec = x_sh.spec
+        h_axis = spec[1] if len(spec) > 1 else None
+        if isinstance(h_axis, tuple):
+            h_axis = h_axis[0] if len(h_axis) == 1 else None
         rep = NamedSharding(x_sh.mesh, P())
-        args = (xs, rep, rep, _batch_only_sharding(x_sh, 2), rep, rep)
-        return mesh, fwd, xs, args
+        if h_axis is None:
+            xs = _batch_only_sharding(x_sh, 4)
+            args = (xs, rep, rep, _batch_only_sharding(x_sh, 2), rep, rep)
+            return mesh, fwd, xs, args
+
+        # image rows sharded: halo-exchange the 3 boundary rows each way,
+        # run the XLA front on the halo-extended local block, drop the halo
+        # rows.  ppermute leaves non-destinations zero, which IS the conv's
+        # zero padding at the global top/bottom edges.
+        n = mesh.shape[h_axis]
+        if arg_shapes[0].shape[1] // max(n, 1) < 3:
+            # local shards thinner than the 3-row halo: gather instead
+            xs = _batch_only_sharding(x_sh, 4)
+            args = (xs, rep, rep, _batch_only_sharding(x_sh, 2), rep, rep)
+            return mesh, fwd, xs, args
+        b_axis = spec[0] if len(spec) > 0 else None
+        xs = NamedSharding(x_sh.mesh, P(b_axis, h_axis))
+        cond_sh = _batch_only_sharding(x_sh, 2)
+
+        def halo_fwd(x, w, b, cond, gamma, beta):
+            top = jax.lax.ppermute(
+                x[:, -3:], h_axis, [(i, i + 1) for i in range(n - 1)])
+            bot = jax.lax.ppermute(
+                x[:, :3], h_axis, [(i + 1, i) for i in range(n - 1)])
+            xp = jnp.concatenate([top, x, bot], axis=1)
+            y = convnext_front_reference(xp, w, b, cond, gamma, beta,
+                                         norm=norm, eps=eps)
+            return y[:, 3:-3]
+
+        args = (xs, rep, rep, cond_sh, rep, rep)
+        return mesh, halo_fwd, xs, args
 
     def infer(mesh, arg_shapes, result_shape):
-        return _batch_only_sharding(arg_shapes[0].sharding, 4)
+        sh = arg_shapes[0].sharding
+        spec = sh.spec
+        b = spec[0] if len(spec) > 0 else None
+        h = spec[1] if len(spec) > 1 else None
+        return NamedSharding(sh.mesh, P(b, h))
 
     cp.def_partition(
         partition=partition,
         infer_sharding_from_operands=infer,
         sharding_rule="b h w c, kh kw kc, dc, b cc, gc, bc -> b h w c",
         need_replication_factors=(
-            "h", "w", "c", "kh", "kw", "kc", "dc", "cc", "gc", "bc"
+            "w", "c", "kh", "kw", "kc", "dc", "cc", "gc", "bc"
         ),
     )
     return cp

@@ -58,10 +58,11 @@ def image_sharding(mesh: Mesh, data_axis: str = "data",
     serving latency at batch sizes smaller than the chip count, where pure
     data parallelism runs out of images to shard.
 
-    Perf note: the Pallas ConvNeXt front declares batch-only partitioning
-    (its custom_partitioning rule replicates H), so a spatially-sharded run
-    regathers rows around it -- set ``COLDDIFF_NO_PALLAS=1`` for pure-SP
-    runs so the convs stay on XLA's halo-exchange path end to end.
+    The Pallas ConvNeXt front participates natively: its partition rule
+    detects the sharded row axis and halo-exchanges the 3 boundary rows via
+    collective-permute around an XLA front on the local block (no
+    all-gather, no env var; tests/test_pallas.py pins it) -- see
+    colddiff/ops/pallas/convnext_front.py.
     """
     return NamedSharding(mesh, P(data_axis, space_axis))
 

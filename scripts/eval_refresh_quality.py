@@ -69,7 +69,11 @@ def main():
                "degraded": {
                    "rmse": float(rmse((og + 1) / 2,
                                       (jnp.clip(start, -1, 1) + 1) / 2)),
-                   "ssim": float(ssim(og, jnp.clip(start, -1, 1))),
+                   # SSIM on [0,1]-unnormalized images with data_range=1,
+                   # matching harness.fid_distance_decrease_from_manifold
+                   # and the reference's ssim(a, b, data_range=1) call.
+                   "ssim": float(ssim((og + 1) / 2,
+                                      (jnp.clip(start, -1, 1) + 1) / 2)),
                },
                "sweep": []}
 
@@ -89,7 +93,7 @@ def main():
             "refresh_every": k,
             "img_per_s": round(n / dt, 3),
             "rmse": float(rmse((og + 1) / 2, (img + 1) / 2)),
-            "ssim": float(ssim(og, img)),
+            "ssim": float(ssim((og + 1) / 2, (img + 1) / 2)),
             f"{'proxy_' if not feats.is_inception else ''}fid": float(proxy_fid),
         }
         results["sweep"].append(entry)
@@ -123,7 +127,7 @@ def main():
     imgb = jnp.clip(imgb, -1, 1)
     results["bf16_compute_refresh1"] = {
         "rmse": float(rmse((og + 1) / 2, (imgb + 1) / 2)),
-        "ssim": float(ssim(og, imgb)),
+        "ssim": float(ssim((og + 1) / 2, (imgb + 1) / 2)),
         f"{'proxy_' if not feats.is_inception else ''}fid": float(
             calculate_fid_given_samples(
                 [np.asarray(og), np.asarray(imgb)], batch_size=32,
@@ -135,14 +139,20 @@ def main():
     # compact summary bench.py attaches to its refresh4 throughput number
     by_k = {e["refresh_every"]: e for e in results["sweep"]}
     fid_key = "proxy_fid" if not feats.is_inception else "fid"
+
+    def sig(x, digits=4):
+        # significant digits, NOT round(x, 3): the proxy-FID values are
+        # ~2.5e-4 and decimal-place rounding zeroes them (VERDICT r3 #7).
+        return float(f"{x:.{digits}g}")
+
     if 1 in by_k and 4 in by_k:
         results["summary"] = {
-            "rmse_refresh1": round(by_k[1]["rmse"], 5),
-            "rmse_refresh4": round(by_k[4]["rmse"], 5),
-            "ssim_refresh1": round(by_k[1]["ssim"], 5),
-            "ssim_refresh4": round(by_k[4]["ssim"], 5),
-            f"{fid_key}_refresh1": round(by_k[1][fid_key], 3),
-            f"{fid_key}_refresh4": round(by_k[4][fid_key], 3),
+            "rmse_refresh1": sig(by_k[1]["rmse"]),
+            "rmse_refresh4": sig(by_k[4]["rmse"]),
+            "ssim_refresh1": sig(by_k[1]["ssim"]),
+            "ssim_refresh4": sig(by_k[4]["ssim"]),
+            f"{fid_key}_refresh1": sig(by_k[1][fid_key]),
+            f"{fid_key}_refresh4": sig(by_k[4][fid_key]),
         }
 
     with open(out_path, "w") as f:

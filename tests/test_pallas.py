@@ -145,6 +145,44 @@ def test_convnext_front_partitions_over_batch_mesh(rng):
                                atol=2e-4)
 
 
+def test_convnext_front_partitions_over_space_mesh(rng):
+    """Spatially-sharded rows (image_sharding's P('data', 'space')) run
+    through the partition rule's halo exchange: collective-permute of the
+    3 boundary rows, NO all-gather of the row axis (round-3 review item 9:
+    pure-SP sampling must need no env var)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    b, h, w, c = 2, 16, 16, 8
+    x = jnp.asarray(rng.standard_normal((b, h, w, c)), dtype=jnp.float32)
+    wk, bias, cond, gamma, beta = _front_args(rng, b, c)
+    want = convnext_front_reference(x, wk, bias, cond, gamma, beta)
+
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("data", "space"))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", "space")))
+    conds = jax.device_put(cond, NamedSharding(mesh, P("data")))
+
+    f = jax.jit(lambda x, cnd: convnext_front(x, wk, bias, cnd, gamma, beta,
+                                              force="interpret"))
+    out = f(xs, conds)
+    assert out.sharding.spec == P("data", "space"), out.sharding
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=3e-5,
+                               atol=3e-5)
+    hlo = f.lower(xs, conds).compile().as_text()
+    assert "all-gather" not in hlo, "row shards must stay local (halo only)"
+    assert "collective-permute" in hlo, "expected the 3-row halo exchange"
+
+    # gradients under the same spatial sharding (bwd is plain XLA; shardy
+    # partitions it with its own halos)
+    g = jax.jit(jax.grad(lambda x, cnd: jnp.sum(
+        convnext_front(x, wk, bias, cnd, gamma, beta, force="interpret") ** 2
+    )))(xs, conds)
+    gr = jax.grad(lambda x, cnd: jnp.sum(
+        convnext_front_reference(x, wk, bias, cnd, gamma, beta) ** 2
+    ))(x, cond)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr), rtol=2e-4,
+                               atol=2e-4)
+
+
 # ---- plain-XLA layer math pinned against naive references ----
 
 
