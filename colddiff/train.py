@@ -129,6 +129,17 @@ class Trainer:
             if second_dataset is not None
             else None
         )
+        # snapshot() draws its grid images from dedicated loaders, never the
+        # training stream: under multi-host only rank 0 samples, and pulling
+        # training batches there would permanently offset rank 0's data
+        # stream relative to the other ranks.  Built lazily (rank 0 only).
+        self._snap_dl = None
+        self._snap_dl2 = None
+        self._snap_dataset = dataset
+        self._snap_dataset2 = second_dataset
+        self._snap_workers = num_workers
+        self._snap_seed = seed
+        self._mh_sample_fn = None
 
         # the step functions are jitted against this mesh's shardings at
         # construction -- pass ``mesh`` to train on a device subset (tests,
@@ -321,6 +332,30 @@ class Trainer:
             batch2 = shard_batch(self._to_model_space(xs2), self.mesh, batch_dim=1)
         return batch, batch2
 
+    def _snapshot_batch(self, n: int):
+        """Grid images for :meth:`snapshot` from process-unsharded loaders
+        with their own seed (the reference samples the next training batch,
+        deblurring_diffusion_pytorch.py:1206-1210; a separate stream keeps
+        every rank's training loader position identical under multi-host)."""
+        from .data.datasets import DataLoader
+
+        if self._snap_dl is None:
+            self._snap_dl = cycle(DataLoader(
+                self._snap_dataset, max(n, self._local_batch),
+                num_workers=self._snap_workers, seed=self._snap_seed + 7919))
+            if self._snap_dataset2 is not None:
+                self._snap_dl2 = cycle(DataLoader(
+                    self._snap_dataset2, max(n, self._local_batch),
+                    num_workers=self._snap_workers,
+                    seed=self._snap_seed + 7920))
+        og = next(self._snap_dl)[:n]
+        x_end = None
+        if self._snap_dl2 is not None:
+            # demixing: endpoint images from dataset 2, like the reference's
+            # periodic sample (demixing_diffusion_pytorch.py:714-730)
+            x_end = next(self._snap_dl2)[:n]
+        return og, x_end
+
     def train(self, log_every: int = 100):
         import json
 
@@ -348,8 +383,11 @@ class Trainer:
                                             "images_per_sec": round(ips, 2)}) + "\n")
                 t0 = time.time()
             if self.step % self.save_and_sample_every == 0:
-                self.snapshot(self.step // self.save_and_sample_every)
+                # checkpoint durability first: snapshot() compiles and runs a
+                # full T-step sampler, the likeliest step to OOM/crash on a
+                # long run -- the milestone ckpt must already be on disk
                 self.save()
+                self.snapshot(self.step // self.save_and_sample_every)
                 # retained step snapshots (snowification saves timestamped
                 # checkpoints every 50k, diffusion.py:662-671)
                 if (self.save_with_milestone_every
@@ -387,16 +425,17 @@ class Trainer:
             diffusion = jax.device_get(self.diffusion)
             if jax.process_index() != 0:
                 return
-            sample_fn = jax.jit(self._sample_impl, static_argnums=(3,))
+            if self._mh_sample_fn is None:
+                # cached: a fresh jax.jit wrapper per snapshot would
+                # recompile the T-step sampler every milestone
+                self._mh_sample_fn = jax.jit(
+                    self._sample_impl, static_argnums=(3,))
+            sample_fn = self._mh_sample_fn
         n = batch_size or min(self.batch_size, 36)
-        og_rgb = np.stack([next(self.dl) for _ in range(1)])[0][:n]
+        og_rgb, x_end_rgb = self._snapshot_batch(n)
         og = self._to_model_space(og_rgb)
-        x_end = None
-        if self.dl2 is not None:
-            # demixing: endpoint images from dataset 2, like the reference's
-            # periodic sample (demixing_diffusion_pytorch.py:714-730)
-            x_end = self._to_model_space(
-                np.stack([next(self.dl2) for _ in range(1)])[0][:n])
+        x_end = (self._to_model_space(x_end_rgb)
+                 if x_end_rgb is not None else None)
         res = sample_fn(
             ema_params, diffusion, og, None,
             jax.random.key(self.step), x_end,
