@@ -9,7 +9,7 @@ Functional parity targets (architecture, not weights):
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -145,32 +145,13 @@ class _LNParams(nn.Module):
         return g, b
 
 
-class _ConvParams(nn.Module):
-    """Parameter container with nn.Conv-compatible tree (kernel, bias)."""
-
-    features: int
-    ksize: Tuple[int, int] = (3, 3)
-
-    @nn.compact
-    def __call__(self, in_features: int):
-        k = self.param(
-            "kernel", nn.initializers.lecun_normal(),
-            (*self.ksize, in_features, self.features),
-        )
-        b = self.param("bias", nn.initializers.zeros, (self.features,))
-        return k, b
-
-
 class ConvNextBlock(nn.Module):
     """ConvNeXt block: depthwise 7x7 + (norm -> 3x3 -> GELU -> 3x3) + residual.
 
-    Parity: deblurring_diffusion_pytorch.py:135-165.  On TPU the whole
-    residual branch runs as ONE fused Pallas pass at bf16 level-0 shapes
-    (colddiff/ops/pallas/convnext_block.py); otherwise the block front
-    (dw conv + time bias + LayerNorm) fuses on its own
-    (colddiff/ops/pallas/convnext_front.py) ahead of XLA's convs.  The
-    parameter tree is identical either way, so checkpoints are
-    interchangeable.
+    Parity: deblurring_diffusion_pytorch.py:135-165.  The block front
+    (dw conv + time bias + LayerNorm) runs as one fused Pallas pass on TPU
+    (colddiff/ops/pallas/convnext_front.py); the parameter tree is identical
+    either way, so checkpoints are interchangeable.
     """
 
     dim_out: int
@@ -180,7 +161,6 @@ class ConvNextBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, t: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        from ..ops.pallas.convnext_block import convnext_block, convnext_block_tail
         from ..ops.pallas.convnext_front import convnext_front
 
         dim = x.shape[-1]
@@ -192,18 +172,14 @@ class ConvNextBlock(nn.Module):
             g, b = _LNParams(dim, name="norm")()
         else:
             g = b = jnp.ones((dim,), x.dtype)  # unused when norm=False
-        w1, b1 = _ConvParams(self.dim_out * self.mult, name="net_conv1")(dim)
-        w2, b2 = _ConvParams(self.dim_out, name="net_conv2")(self.dim_out * self.mult)
-        if dim == self.dim_out:
-            return convnext_block(
-                x, dw_k[:, :, 0, :], dw_b, cond, g, b, w1, b1, w2, b2,
-                norm=self.norm,
-            )
         h = convnext_front(
             x, dw_k[:, :, 0, :], dw_b, cond, g, b, norm=self.norm
         )
-        h = convnext_block_tail(h, w1, b1, w2, b2)
-        x = nn.Conv(self.dim_out, (1, 1), name="res_conv")(x)
+        h = nn.Conv(self.dim_out * self.mult, (3, 3), padding=1, name="net_conv1")(h)
+        h = gelu(h)
+        h = nn.Conv(self.dim_out, (3, 3), padding=1, name="net_conv2")(h)
+        if dim != self.dim_out:
+            x = nn.Conv(self.dim_out, (1, 1), name="res_conv")(x)
         return h + x
 
 
