@@ -228,6 +228,17 @@ def sample_multi_step(
 
     One masked scan of length max(T): samples whose level has reached their
     t_end keep their state.
+
+    Train-routine semantics follow ``sample_one_step``'s composed update
+    (snowification diffusion.py:239-245): ``Step`` models predict x_{t-1}
+    directly (new = x0_hat), ``Step_Gradient`` models predict
+    x_{t-1} - x_t (new = x_t + x0_hat).  Note the reference's own
+    ``sample_multi_step`` unpacks ``_, img_new_partial = sample_one_step(...)``
+    -- the *second* element, ``direct_recons`` -- so upstream discards the
+    composed step and feeds the raw prediction back at every level (a
+    tuple-order bug: under Final routines the x0_step_down/default update it
+    just computed is thrown away; under Step the two coincide).  colddiff
+    implements the intended composition.
     """
     steps = diffusion.num_timesteps
     if rng is None:
@@ -247,7 +258,13 @@ def sample_multi_step(
         step = jnp.maximum(level - 1, 0).astype(jnp.int32)
         x0_hat = denoise_fn(cur, step)
         n_t = jnp.maximum(level, 1).astype(jnp.int32)
-        if op.requires_x_end:
+        if diffusion.train_routine == "Step":
+            # model directly predicts x_{t-1} (snowification diffusion.py:239)
+            new = x0_hat
+        elif diffusion.train_routine == "Step_Gradient":
+            # model predicts x_{t-1} - x_t (snowification diffusion.py:242-243)
+            new = cur + x0_hat
+        elif op.requires_x_end:
             x2 = x_end if x_end is not None else op.x_end_from_xt(x0_hat, cur, n_t)
             xt_bar = op.degrade(x0_hat, n_t, x_end=x2, og=x0_hat)
             xtm1_bar = op.degrade(x0_hat, n_t - 1, x_end=x2, og=x0_hat)

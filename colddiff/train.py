@@ -135,6 +135,7 @@ class Trainer:
         # stream relative to the other ranks.  Built lazily (rank 0 only).
         self._snap_dl = None
         self._snap_dl2 = None
+        self._snap_bs = 0
         self._snap_dataset = dataset
         self._snap_dataset2 = second_dataset
         self._snap_workers = num_workers
@@ -339,13 +340,21 @@ class Trainer:
         every rank's training loader position identical under multi-host)."""
         from .data.datasets import DataLoader
 
-        if self._snap_dl is None:
+        def snap_bs(dataset):
+            # never exceed the dataset (drop_last would yield zero batches
+            # and hang the first snapshot on a small smoke set)
+            return min(max(n, self._local_batch), len(dataset))
+
+        if self._snap_dl is None or self._snap_bs < snap_bs(self._snap_dataset):
+            # (re)build: also when a later snapshot asks for more images than
+            # the cached loader's batch size can provide
+            self._snap_bs = snap_bs(self._snap_dataset)
             self._snap_dl = cycle(DataLoader(
-                self._snap_dataset, max(n, self._local_batch),
+                self._snap_dataset, self._snap_bs,
                 num_workers=self._snap_workers, seed=self._snap_seed + 7919))
             if self._snap_dataset2 is not None:
                 self._snap_dl2 = cycle(DataLoader(
-                    self._snap_dataset2, max(n, self._local_batch),
+                    self._snap_dataset2, snap_bs(self._snap_dataset2),
                     num_workers=self._snap_workers,
                     seed=self._snap_seed + 7920))
         og = next(self._snap_dl)[:n]

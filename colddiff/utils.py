@@ -63,8 +63,16 @@ def apply_in_chunks(fn, chunk_size: int, *args):
 
 def cycle(iterable: Iterable) -> Iterator:
     while True:
+        empty = True
         for item in iterable:
+            empty = False
             yield item
+        if empty:
+            # a drop_last loader over a too-small dataset yields no batches;
+            # spinning here would hang the caller silently
+            raise ValueError(
+                "cycle(): underlying iterable produced no items "
+                "(dataset smaller than the loader batch size?)")
 
 
 def to_uint8_grid(images: np.ndarray, nrow: int = 6) -> np.ndarray:

@@ -4,9 +4,12 @@ The block-level microbench (scripts/bench_block.py) ranks the candidates at
 the level-0 shape, but in the live UNet XLA fuses across block boundaries,
 so dispatch defaults are decided HERE, end to end:
 
-  block  -- fused ConvNeXt-block kernel ON (+ front where the block can't fuse)
-  front  -- round-3 production: Pallas front only (COLDDIFF_NO_BLOCK_FUSION=1)
+  front  -- production: Pallas ConvNeXt front ON (default dispatch)
   xla    -- no Pallas at all (COLDDIFF_NO_PALLAS=1)
+
+(The round-4 'block' mode is gone: the fused ConvNeXt-block kernel won its
+microbench, lost end to end -- 15.55 vs 14.40 ms/fwd -- and was deleted with
+its COLDDIFF_NO_BLOCK_FUSION switch; both live in git history.)
 
 Dispatch reads env at trace time, so each mode runs in a subprocess.
 
@@ -63,8 +66,7 @@ print(f"RESULT {(t_k - t_1) / (K - 1) * 1e3:.3f}", flush=True)
 """
 
 MODES = {
-    "block": {},
-    "front": {"COLDDIFF_NO_BLOCK_FUSION": "1"},
+    "front": {},
     "xla": {"COLDDIFF_NO_PALLAS": "1"},
 }
 

@@ -32,11 +32,14 @@ def rss_mb():
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    n = int(args[0]) if args else 2000
+    argv = sys.argv[1:]
     sync_every = 0
-    if "--sync-every" in sys.argv:
-        sync_every = int(sys.argv[sys.argv.index("--sync-every") + 1])
+    if "--sync-every" in argv:
+        i = argv.index("--sync-every")
+        sync_every = int(argv[i + 1])
+        del argv[i:i + 2]  # remove flag AND its value from the positionals
+    args = [a for a in argv if not a.startswith("--")]
+    n = int(args[0]) if args else 2000
 
     @jax.jit
     def step(w, x):

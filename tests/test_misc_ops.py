@@ -171,3 +171,47 @@ def test_enable_compilation_cache_resolution():
                 del os.environ["COLDDIFF_NO_COMPILATION_CACHE"]
     finally:
         jax.config.update("jax_compilation_cache_dir", orig)
+
+
+def test_sample_multi_step_step_routines(rng):
+    """Step / Step_Gradient update rules in the masked multi-step scan match a
+    per-sample python loop of the composed one-step update (snowification
+    diffusion.py:239-245; the scan must not silently fall through to the
+    Final-routine re-degradation branch)."""
+    from colddiff.diffusion import ColdDiffusion
+    from colddiff.operators import get_operator
+    from colddiff.sampling import sample_multi_step
+
+    op = get_operator("blur", image_size=8, timesteps=5,
+                      blur_routine="Constant", kernel_size=3, kernel_std=1.0)
+    start = jnp.asarray(rng.standard_normal((3, 8, 8, 3)), dtype=jnp.float32)
+    t_start = np.asarray([5, 3, 0])
+    t_end = np.asarray([1, 0, 0])
+
+    # a level-dependent fake model so wrong-t bugs can't cancel out
+    def fake(xt, tt):
+        coef = (tt.astype(jnp.float32) + 1.0).reshape(-1, 1, 1, 1)
+        return 0.5 * xt + 0.01 * coef
+
+    for routine, compose in [
+        ("Step", lambda cur, pred: pred),
+        ("Step_Gradient", lambda cur, pred: cur + pred),
+    ]:
+        d = ColdDiffusion(op=op, image_size=8, channels=3,
+                          train_routine=routine,
+                          sampling_routine="x0_step_down")
+        got = sample_multi_step(d, fake, start, jnp.asarray(t_start),
+                                jnp.asarray(t_end))
+        # per-sample loop reference
+        want = np.array(start)
+        for i in range(start.shape[0]):
+            cur = np.array(start[i:i + 1])
+            level = int(t_start[i])
+            while level > int(t_end[i]):
+                tt = jnp.asarray([max(level - 1, 0)], dtype=jnp.int32)
+                pred = np.asarray(fake(jnp.asarray(cur), tt))
+                cur = np.asarray(compose(cur, pred))
+                level -= 1
+            want[i] = cur[0]
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-5,
+                                   err_msg=routine)

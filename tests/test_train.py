@@ -199,3 +199,39 @@ def test_debug_nans_flag_raises_on_nonfinite_batch(tmp_path):
             float(loss)
     finally:
         jax.config.update("jax_debug_nans", False)
+
+
+def test_snapshot_small_dataset_does_not_hang(tmp_path):
+    """A dataset smaller than the snapshot grid size must not leave the
+    drop_last snapshot loader empty (cycle() would spin forever pre-fix;
+    now the loader batch clamps to the dataset and cycle() raises loudly
+    on a genuinely empty iterable)."""
+    op = get_operator("blur", image_size=16, timesteps=4,
+                      blur_routine="Constant", kernel_size=3, kernel_std=1.0)
+    d = ColdDiffusion(op=op, image_size=16, channels=3,
+                      sampling_routine="x0_step_down")
+    model = UnetConvNext(dim=8, dim_mults=(1, 2), channels=3)
+    ds = SyntheticDataset(16, 3, length=8)  # smaller than the n=36 default
+    tr = Trainer(d, model, ds, train_batch_size=8, train_num_steps=0,
+                 results_folder=str(tmp_path / "results"), num_workers=1)
+    og, x_end = tr._snapshot_batch(36)
+    assert og.shape[0] == 8 and x_end is None
+    # a later, larger request rebuilds the cached loader instead of
+    # silently returning the first call's batch size
+    ds2 = SyntheticDataset(16, 3, length=64)
+    tr2 = Trainer(d, model, ds2, train_batch_size=8, train_num_steps=0,
+                  results_folder=str(tmp_path / "results2"), num_workers=1)
+    first, _ = tr2._snapshot_batch(8)
+    assert first.shape[0] == 8
+    bigger, _ = tr2._snapshot_batch(36)
+    assert bigger.shape[0] == 36
+
+
+def test_cycle_raises_on_empty_iterable():
+    import pytest
+
+    from colddiff.utils import cycle
+
+    it = cycle([])
+    with pytest.raises(ValueError):
+        next(it)
