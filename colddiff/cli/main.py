@@ -123,6 +123,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "test_sample_and_save_for_fid | "
                          "train_distribution_mean_blur_torch_gmm | "
                          "test_paper_showing_diffusion_images")
+    te.add_argument("--refresh_every", type=int, default=1,
+                    help="opt-in sampling acceleration (beyond reference): "
+                         "refresh the x0 prediction every K reverse steps "
+                         "and reuse it in between (~K-fold fewer UNet "
+                         "calls; 1 = exact reference algorithm; quality "
+                         "record docs/examples/refresh_quality.json)")
     te.add_argument("--fid_weights", default=None)
     te.add_argument("--eval_mesh", choices=["auto", "off"], default="auto",
                     help="auto: shard eval sweeps over all chips; "
@@ -310,7 +316,8 @@ def run_test(args):
     harness = EvalHarness(trainer.diffusion, model, params,
                           results_folder=_results_folder(args),
                           fid_weights=args.fid_weights, to_lab=args.to_lab,
-                          endpoint_dataset=ds2, mesh=mesh)
+                          endpoint_dataset=ds2, mesh=mesh,
+                          refresh_every=args.refresh_every, bf16=args.bf16)
 
     def first_batch(n=None):
         return np.stack([ds[i] for i in range(min(n or args.batch_size, len(ds)))])

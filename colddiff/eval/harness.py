@@ -46,9 +46,19 @@ class EvalHarness:
         model_chunk: int = 16,
         endpoint_dataset=None,
         mesh=None,
+        refresh_every: int = 1,
+        bf16: bool = False,
     ):
         self.d = diffusion
         self.model = model
+        # opt-in prediction caching (colddiff/sampling.py:sample): the x0
+        # prediction is refreshed every K reverse steps and reused in
+        # between, cutting UNet calls ~K-fold (measured 20.1 img/s/chip bf16
+        # at K=4 vs 5.5 exact; quality record docs/examples/
+        # refresh_quality.json).  K=1 (default) is the exact reference
+        # algorithm; every metric artifact stamps the active value so
+        # accelerated numbers can never masquerade as exact ones.
+        self.refresh_every = int(refresh_every)
         # Mesh-parallel eval (beyond the reference's single-GPU loops): with a
         # ``jax.sharding.Mesh``, params replicate across it, eval batches are
         # sharded along the data axis, and XLA partitions the whole jitted
@@ -64,6 +74,15 @@ class EvalHarness:
             params = replicate(params, mesh)
             if model_chunk:
                 model_chunk = model_chunk * mesh.size
+        # bf16 eval compute (the bench-pinned recipe, 1.42x the fp32
+        # forward): cast params once here and inputs at apply time, outputs
+        # back to fp32 -- the reverse-scan carry and all degradation math
+        # stay fp32 (operators pin Precision.HIGHEST internally)
+        self.bf16 = bf16
+        if bf16:
+            params = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
         self.params = params
         # Family-B demixing: degradation endpoints come from a second dataset
         # (demixing_diffusion_pytorch.py:714-730); other ops synthesize their
@@ -80,6 +99,11 @@ class EvalHarness:
         # convert instead)
         self.to_lab = to_lab
 
+        def apply_fn(xc, tc):
+            if bf16:
+                xc = xc.astype(jnp.bfloat16)
+            return model.apply(params, xc, tc).astype(jnp.float32)
+
         def denoise(x, t):
             # chunk big eval batches: XLA schedules the 128px UNet forward
             # poorly above B~16 (round-1 B=64 cliff; docs/ROADMAP.md) and the
@@ -87,10 +111,8 @@ class EvalHarness:
             from ..utils import apply_in_chunks
 
             if model_chunk and x.shape[0] > model_chunk:
-                return apply_in_chunks(
-                    lambda xc, tc: model.apply(params, xc, tc),
-                    model_chunk, x, t)
-            return model.apply(params, x, t)
+                return apply_in_chunks(apply_fn, model_chunk, x, t)
+            return apply_fn(x, t)
 
         self.denoise = denoise
         # the diffusion (with its operator state) is a jit *argument*, not a
@@ -102,7 +124,8 @@ class EvalHarness:
         # (~2.5 GB at T=200/B=32/128px fp32) that all_sample allocates
         self._sample = jax.jit(
             lambda d, img, x_end, rng: sample(d, self.denoise, img,
-                                              x_end=x_end, rng=rng)
+                                              x_end=x_end, rng=rng,
+                                              refresh_every=self.refresh_every)
         )
 
     @property
@@ -200,7 +223,7 @@ class EvalHarness:
         og = jnp.asarray(batch)
         start, x_end, op = self._degrade_start(self._pre(og), rng)
         res = all_sample(self.d.replace(op=op), self.denoise, start, x_end=x_end,
-                         rng=rng)
+                         rng=rng, refresh_every=self.refresh_every)
         x0s = self._post(res.x0_trajectory)
         xts = self._post(res.xt_trajectory)
         root = self.results_folder
@@ -228,7 +251,8 @@ class EvalHarness:
         rng = rng if rng is not None else jax.random.key(0)
         og = jnp.asarray(batch)
         start, x_end, op = self._degrade_start(self._pre(og), rng)
-        res = sample(self.d.replace(op=op), self.denoise, start, x_end=x_end, rng=rng)
+        res = sample(self.d.replace(op=op), self.denoise, start, x_end=x_end,
+                     rng=rng, refresh_every=self.refresh_every)
         root = self.results_folder
         for name, imgs in [("og", og), ("xt", self._post(res.xt)),
                            ("direct_recons", self._post(res.direct_recons)),
@@ -298,7 +322,11 @@ class EvalHarness:
                             "inception" if getattr(self.features, "is_inception",
                                                    False) else "fallback")
         fid_key = "fid" if self.features.is_inception else "proxy_fid"
-        out = {"extractor": extractor}
+        # stamp the active prediction-caching factor: metrics produced by an
+        # accelerated (refresh_every > 1) run must never be mistaken for the
+        # exact reference algorithm's
+        out = {"extractor": extractor, "refresh_every": self.refresh_every,
+               "bf16": self.bf16}
         # the reference unnormalizes to [0,1] before RMSE/SSIM
         # (deblurring_diffusion_pytorch.py:1619-1623, :1679-1699); FID takes
         # the [-1,1] convention directly (the extractor owns normalization)
@@ -352,7 +380,8 @@ class EvalHarness:
         create_folder(out)
         count = 0
         sample_jit = jax.jit(
-            lambda noise, r: sample(self.d, self.denoise, noise, x_end=noise, rng=r)
+            lambda noise, r: sample(self.d, self.denoise, noise, x_end=noise,
+                                    rng=r, refresh_every=self.refresh_every)
         )
         ep_idx = 0
         while count < num:
@@ -417,7 +446,8 @@ class EvalHarness:
         if noise_level > 0:
             img = img + noise_level * jax.random.normal(n_rng, img.shape)
         return self._post_result(sample(self.d, self.denoise, img,
-                                        rng=samp_rng))
+                                        rng=samp_rng,
+                                        refresh_every=self.refresh_every))
 
     # ------------------------------------------------------------------ #
 
@@ -450,7 +480,8 @@ class EvalHarness:
             start = start + noise_level * jax.random.normal(n_rng, start.shape)
         xt = self.d.op.degrade_range(start, sample_at, T)
         return self._post_result(sample(self.d, self.denoise, xt,
-                                        rng=samp_rng))
+                                        rng=samp_rng,
+                                        refresh_every=self.refresh_every))
 
     # ------------------------------------------------------------------ #
     # Family-B vector-GMM blind generation + data-as-x_T sampling
@@ -489,7 +520,8 @@ class EvalHarness:
         start = self._vector_gmm_starts(gmm, s_rng, num, siz, c)
         res = self._post_result(all_sample(self.d, self.denoise, start,
                                            rng=samp_rng,
-                                           traj_stride=traj_stride))
+                                           traj_stride=traj_stride,
+                                           refresh_every=self.refresh_every))
         if save:
             tag = f"{siz}-{clusters}-vec"
             save_image_grid(self._post(start),
@@ -521,7 +553,8 @@ class EvalHarness:
         )
         create_folder(out)
         sample_jit = jax.jit(
-            lambda img, r: sample(self.d, self.denoise, img, rng=r).img
+            lambda img, r: sample(self.d, self.denoise, img, rng=r,
+                                  refresh_every=self.refresh_every).img
         )
         cnt = 0
         while cnt < n_sample:
@@ -583,7 +616,7 @@ class EvalHarness:
         create_folder(out_gmm)
         sample_jit = jax.jit(
             lambda img, r: sample(self.d, self.denoise, img, sample_at,
-                                  rng=r).img
+                                  rng=r, refresh_every=self.refresh_every).img
         )
         cnt = 0
         while cnt < n_sample:
@@ -617,7 +650,8 @@ class EvalHarness:
             self.results_folder / "sample_from_data")
         create_folder(out)
         sample_jit = jax.jit(
-            lambda img, r: sample(self.d, self.denoise, img, rng=r).img
+            lambda img, r: sample(self.d, self.denoise, img, rng=r,
+                                  refresh_every=self.refresh_every).img
         )
         cnt = 0
         batch = []
@@ -667,7 +701,8 @@ class EvalHarness:
             rng, b_rng = jax.random.split(rng)
             start, x_end, op = self._degrade_start(self._pre(og), b_rng)
             res = sample(self.d.replace(op=op), self.denoise, start,
-                         x_end=x_end, rng=b_rng)
+                         x_end=x_end, rng=b_rng,
+                         refresh_every=self.refresh_every)
             rows = {
                 "orig": np.asarray(og),
                 "blur": self._post(res.xt),
@@ -697,7 +732,8 @@ class EvalHarness:
             for n in range(1, T + 1)
         ]
         res = self._post_result(all_sample(self.d, self.denoise, fwd_m[-1],
-                                           x_end=x_end, rng=rng))
+                                           x_end=x_end, rng=rng,
+                                           refresh_every=self.refresh_every))
         fwd = [self._post(f) for f in fwd_m]
         bwd = [np.asarray(f) for f in res.xt_trajectory] + [np.asarray(res.img)]
         save_gif(fwd, self.results_folder / f"{prefix}-forward.gif")
@@ -739,7 +775,8 @@ class EvalHarness:
         start, x_end, op = self._degrade_start(self._pre(og), rng)
         return self._post_result(all_sample(d.replace(op=op), self.denoise,
                                             start, t=s_times, x_end=x_end,
-                                            rng=rng))
+                                            rng=rng,
+                                            refresh_every=self.refresh_every))
 
     @staticmethod
     def _panel(imgs, pad: int = 10, color: float = -1.0) -> np.ndarray:
@@ -871,7 +908,8 @@ class EvalHarness:
         for alg, routine in (("1", "default"), ("2", "x0_step_down")):
             d = self.d.replace(sampling_routine=routine)
             res = self._post_result(all_sample(d, self.denoise, fwd_m[-1],
-                                               x_end=x_end, rng=rng))
+                                               x_end=x_end, rng=rng,
+                                               refresh_every=self.refresh_every))
             bwd = [np.asarray(f) for f in res.xt_trajectory]
             bwd.append(np.asarray(res.img))
             for k in range(b):
@@ -891,7 +929,8 @@ class EvalHarness:
         img = jnp.asarray(img)
         T = self.d.num_timesteps
         xt = self.d.op.degrade_range(self._pre(img), start, T)
-        res = self._post_result(sample(self.d, self.denoise, xt, rng=rng))
+        res = self._post_result(sample(self.d, self.denoise, xt, rng=rng,
+                                       refresh_every=self.refresh_every))
         root = self.results_folder
         save_image_grid(np.asarray(img), root / f"sample-og-{prefix}.png")
         save_image_grid(np.asarray(res.xt), root / f"sample-xt-{prefix}.png")

@@ -296,10 +296,13 @@ def all_sample(
     x_end: Optional[jnp.ndarray] = None,
     rng: Optional[jax.Array] = None,
     traj_stride: int = 1,
+    refresh_every: int = 1,
 ) -> SampleResult:
     """Reverse loop that also returns the full [steps, B, H, W, C]
     reconstruction/state trajectories (reference all_sample,
     deblurring_diffusion_pytorch.py:609-689).  ``traj_stride > 1`` keeps
-    every k-th frame to bound trajectory memory (see :func:`sample`)."""
+    every k-th frame to bound trajectory memory; ``refresh_every > 1`` is
+    the opt-in prediction-caching acceleration (see :func:`sample`)."""
     return sample(diffusion, denoise_fn, img, t, x_end=x_end, rng=rng,
-                  trajectory=True, traj_stride=traj_stride)
+                  trajectory=True, traj_stride=traj_stride,
+                  refresh_every=refresh_every)

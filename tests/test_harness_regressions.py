@@ -79,3 +79,38 @@ def test_sample_and_save_for_fid_to_lab(tmp_path, rng):
     out = h.sample_and_save_for_fid(num=2, batch_size=2,
                                     rng=jax.random.key(0))
     assert (out / "0.png").exists() and (out / "1.png").exists()
+
+
+def test_harness_bf16_and_refresh_knobs(tmp_path, rng):
+    """EvalHarness(bf16=True) must actually run the model in bfloat16
+    (fp32 and bf16 outputs differ beyond fp32 roundoff but stay close), and
+    refresh_every must change the sampled output (fewer UNet refreshes)
+    while the metric dict stamps both knobs."""
+    op = get_operator("blur", image_size=16, timesteps=4,
+                      blur_routine="Constant", kernel_size=3, kernel_std=1.0)
+    batch = rng.random((4, 16, 16, 3)).astype(np.float32) * 2 - 1
+    key = jax.random.key(3)
+
+    h32 = _harness(tmp_path / "a", op)
+    h16 = _harness(tmp_path / "b", op, bf16=True)
+    leaf = jax.tree_util.tree_leaves(h16.params)[0]
+    assert leaf.dtype == jnp.bfloat16
+    r32 = h32._sample(h32.d, jnp.asarray(batch), None, key)
+    r16 = h16._sample(h16.d, jnp.asarray(batch), None, key)
+    assert r16.img.dtype == jnp.float32  # carry math stays fp32
+    d = float(jnp.max(jnp.abs(r32.img - r16.img)))
+    assert 1e-7 < d < 0.2, d
+
+    hk = _harness(tmp_path / "c", op, refresh_every=2)
+    rk = hk._sample(hk.d, jnp.asarray(batch), None, key)
+    assert float(jnp.max(jnp.abs(np.asarray(rk.img) - np.asarray(r32.img)))) > 1e-7
+
+    class _DS:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            return batch[i]
+
+    out = hk.fid_distance_decrease_from_manifold(_DS(), end=4, batch_size=4)
+    assert out["refresh_every"] == 2 and out["bf16"] is False
