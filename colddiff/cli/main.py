@@ -114,6 +114,13 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--grad_accum", type=int, default=2)
     tr.add_argument("--ema_decay", type=float, default=0.995)
     tr.add_argument("--save_and_sample_every", type=int, default=1000)
+    tr.add_argument("--restart_every_steps", type=int, default=0,
+                    help="leak-aware long runs (this container's axon "
+                         "client leaks host RSS per transfer): checkpoint "
+                         "and respawn a fresh worker process every N steps; "
+                         "the run auto-resumes seamlessly (docs/USAGE.md)")
+    tr.add_argument("--restart_rss_gb", type=float, default=0.0,
+                    help="also respawn when host RSS crosses this many GB")
 
     te = sub.add_parser("test")
     common(te)
@@ -254,8 +261,48 @@ def _results_folder(args):
             if args.exp_name else args.save_folder)
 
 
-def run_train(args):
+_RESTART_EXIT_CODE = 75  # EX_TEMPFAIL: worker hit a restart boundary
+
+
+def _supervise_train(raw_argv):
+    """Leak-aware supervisor: respawn clean worker processes until done.
+
+    The worker trains up to the next --restart_every_steps / --restart_rss_gb
+    boundary, checkpoints, and exits with _RESTART_EXIT_CODE; each respawn
+    resets the axon client's leaked host RSS.  Children are fresh processes
+    (NOT os.exec: exec skips atexit, which would strand the TPU lease for
+    ~8 min per restart on this backend) and auto-resume from the rolling
+    checkpoint.  The supervisor itself never touches a device.
+    """
+    import os
+    import subprocess
+    import sys
+
+    child_argv = list(raw_argv)
+    if "--resume_training" not in child_argv:
+        child_argv.append("--resume_training")
+    env = dict(os.environ, COLDDIFF_RESTART_WORKER="1")
+    n = 0
+    while True:
+        n += 1
+        r = subprocess.run([sys.executable, "-m", "colddiff.cli.main",
+                            *child_argv], env=env)
+        if r.returncode != _RESTART_EXIT_CODE:
+            return r.returncode
+        print(f"[supervisor] worker {n} hit restart boundary; respawning",
+              flush=True)
+
+
+def run_train(args, raw_argv=None):
+    import os
+    import sys
+
     from ..train import Trainer
+
+    restart_opts = args.restart_every_steps or args.restart_rss_gb
+    if (restart_opts and raw_argv is not None
+            and not os.environ.get("COLDDIFF_RESTART_WORKER")):
+        sys.exit(_supervise_train(raw_argv))
 
     diffusion, model, image_size, channels = build(args)
     ds = make_dataset(args, image_size, train=True, channels=channels)
@@ -276,10 +323,13 @@ def run_train(args):
         results_folder=_results_folder(args), load_path=args.load_path,
         load_torch_path=args.load_torch_path,
         auto_resume=args.resume_training,
+        restart_every_steps=args.restart_every_steps,
+        restart_rss_gb=args.restart_rss_gb,
         bf16=args.bf16, seed=args.seed, to_lab=args.to_lab,
         param_sharding=args.param_sharding,
     )
-    trainer.train()
+    if trainer.train() == "restart":
+        sys.exit(_RESTART_EXIT_CODE)
 
 
 def run_test(args):
@@ -445,9 +495,12 @@ def run_test(args):
 
 
 def main(argv=None):
+    import sys
+
     from ..utils import enable_compilation_cache
 
     args = build_parser().parse_args(argv)
+    raw_argv = [str(a) for a in (argv if argv is not None else sys.argv[1:])]
     if args.multihost or args.coordinator_address:
         from ..parallel import init_multihost
 
@@ -459,7 +512,7 @@ def main(argv=None):
     # seconds (COLDDIFF_NO_COMPILATION_CACHE=1 disables)
     enable_compilation_cache()
     if args.command == "train":
-        run_train(args)
+        run_train(args, raw_argv)
     else:
         run_test(args)
 

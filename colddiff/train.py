@@ -74,6 +74,8 @@ class Trainer:
         debug_nans: bool = False,
         remat: bool = False,
         auto_resume: bool = False,
+        restart_every_steps: int = 0,
+        restart_rss_gb: float = 0.0,
         to_lab: bool = False,
         param_sharding: str = "replicated",
         fsdp_min_size: int = 2 ** 14,
@@ -101,6 +103,18 @@ class Trainer:
         if debug_nans:
             jax.config.update("jax_debug_nans", True)
         self.metrics_path = self.results_folder / "metrics.jsonl"
+        # Leak-aware long runs: this container's axon client leaks host RSS
+        # equal to the bytes of every host->device transfer (pinned:
+        # scripts/probe_host_leak.py, 3.00 MB/step at the flagship 128px
+        # superbatch -- it OOM-killed a 131 GB / 14.6k-step retrain in round
+        # 3).  ``restart_every_steps`` makes train() checkpoint and return
+        # "restart" every N steps; the CLI supervisor then respawns a fresh
+        # worker process that auto-resumes, bounding RSS at N x superbatch
+        # bytes.  ``restart_rss_gb`` triggers the same path when host RSS
+        # crosses a threshold (checked at log intervals).  Both opt-in; a
+        # real PJRT runtime needs neither.
+        self.restart_every_steps = restart_every_steps
+        self.restart_rss_gb = restart_rss_gb
         # rematerialize the UNet in backward to trade FLOPs for HBM
         self.remat = remat
         # Lab-space training: batches are rgb2lab-converted after loading and
@@ -365,7 +379,30 @@ class Trainer:
             x_end = next(self._snap_dl2)[:n]
         return og, x_end
 
-    def train(self, log_every: int = 100):
+    @staticmethod
+    def _host_rss_gb() -> float:
+        try:
+            with open("/proc/self/status") as f:
+                for line in f:
+                    if line.startswith("VmRSS"):
+                        return int(line.split()[1]) / 1024 / 1024
+        except OSError:
+            pass
+        return 0.0
+
+    def _should_restart(self) -> bool:
+        if (self.restart_every_steps
+                and self.step % self.restart_every_steps == 0):
+            return True
+        if self.restart_rss_gb and self._host_rss_gb() > self.restart_rss_gb:
+            return True
+        return False
+
+    def train(self, log_every: int = 100) -> str:
+        """Run to ``train_num_steps``.  Returns "done", or "restart" when a
+        restart_every_steps / restart_rss_gb boundary was hit mid-run (the
+        checkpoint is already saved; respawn with auto_resume to continue --
+        the CLI supervisor in cli/main.py does this automatically)."""
         import json
 
         t0 = time.time()
@@ -402,7 +439,15 @@ class Trainer:
                 if (self.save_with_milestone_every
                         and self.step % self.save_with_milestone_every == 0):
                     self.save(self.results_folder / f"model_{self.step}")
+            if self.step < self.train_num_steps and self._should_restart():
+                self.save()
+                if jax.process_index() == 0:
+                    print(f"step {self.step}: restart boundary -- "
+                          "checkpoint saved, handing back to supervisor",
+                          flush=True)
+                return "restart"
         self.save()
+        return "done"
 
     def _maybe_reset_op(self):
         """Redraw stochastic operator state per step (random snow), mirroring

@@ -235,3 +235,69 @@ def test_cycle_raises_on_empty_iterable():
     it = cycle([])
     with pytest.raises(ValueError):
         next(it)
+
+
+def test_restart_every_steps_boundary_and_resume(tmp_path):
+    """Leak-aware long runs: train() checkpoints and returns "restart" at
+    each --restart_every_steps boundary; a fresh auto_resume Trainer picks
+    up exactly where the previous worker stopped (the machinery that bounds
+    the axon host-RSS leak, docs/USAGE.md)."""
+    kw = dict(train_num_steps=5, save_and_sample_every=100,
+              restart_every_steps=2)
+    tr = make_trainer(tmp_path, **kw)
+    assert tr.train(log_every=10) == "restart"
+    assert tr.step == 2
+    assert (tmp_path / "results" / "model").exists()
+
+    tr2 = make_trainer(tmp_path, auto_resume=True, **kw)
+    assert tr2.step == 2
+    assert tr2.train(log_every=10) == "restart"
+    assert tr2.step == 4
+
+    tr3 = make_trainer(tmp_path, auto_resume=True, **kw)
+    assert tr3.train(log_every=10) == "done"
+    assert tr3.step == 5
+
+
+def test_restart_rss_threshold(tmp_path):
+    """A tiny RSS threshold triggers the restart path immediately."""
+    tr = make_trainer(tmp_path, train_num_steps=3, save_and_sample_every=100,
+                      restart_rss_gb=0.001)
+    assert tr.train(log_every=10) == "restart"
+    assert tr.step == 1
+
+
+def test_cli_restart_supervisor_loop(tmp_path, monkeypatch):
+    """The CLI supervisor respawns workers while they exit with the restart
+    code, appends --resume_training, marks children via env, and never
+    builds a Trainer itself."""
+    import importlib
+
+    cli_main = importlib.import_module("colddiff.cli.main")
+
+    calls = []
+    rcs = iter([75, 75, 0])
+
+    class R:
+        def __init__(self, rc):
+            self.returncode = rc
+
+    def fake_run(argv, env=None):
+        calls.append((argv, env))
+        return R(next(rcs))
+
+    monkeypatch.setattr("subprocess.run", fake_run)
+    import pytest as _pytest
+
+    argv = ["train", "--dataset", "synthetic", "--train_steps", "4",
+            "--restart_every_steps", "2",
+            "--save_folder", str(tmp_path / "out")]
+    with _pytest.raises(SystemExit) as e:
+        cli_main.main(argv)
+    assert e.value.code == 0
+    assert len(calls) == 3
+    for child_argv, env in calls:
+        assert child_argv[:3] == [__import__("sys").executable, "-m",
+                                  "colddiff.cli.main"]
+        assert "--resume_training" in child_argv
+        assert env["COLDDIFF_RESTART_WORKER"] == "1"
