@@ -127,13 +127,20 @@ class Snow(Degradation):
         v_blur = jnp.einsum("tij,tljw->tliw", m, fx, precision=hp)  # along H
 
         if self.single_snow:
-            # half the per-sample layers get vertical blur
-            # (forward_process_impl.py:337-341)
+            # a FRESH half-of-the-layers permutation per timestep gets
+            # vertical blur (forward_process_impl.py:337-341 draws
+            # torch.randperm inside the per-timestep loop).  RNG-source
+            # waiver: upstream draws these from torch's *global, unseeded*
+            # generator -- its fixed-snow setup is not reproducible in
+            # single_snow mode -- so colddiff draws them from the operator's
+            # own seeded stream (after the vertical-uniform draw, in timestep
+            # order), keeping the per-timestep semantics deterministic.
             L = fields.shape[1]
-            perm = rng.permutation(L)
-            take_v = np.zeros((L,), bool)
-            take_v[perm[: L // 2]] = True
-            snow = jnp.where(jnp.asarray(take_v)[None, :, None, None], v_blur, h_blur)
+            take_v = np.zeros((T, L), bool)
+            for t_idx in range(T):
+                perm = rng.permutation(L)
+                take_v[t_idx, perm[: L // 2]] = True
+            snow = jnp.where(jnp.asarray(take_v)[:, :, None, None], v_blur, h_blur)
         else:
             snow = v_blur if vertical else h_blur
         snow_rot = jnp.flip(snow, axis=(2, 3))
