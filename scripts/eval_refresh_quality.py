@@ -4,7 +4,8 @@
 (colddiff/sampling.py), cutting sampler cost ~K-fold. This measures what
 that buys and what it costs on a *converged* checkpoint: RMSE / SSIM /
 proxy-FID of the sampled reconstructions vs the originals, for K in
-{1, 2, 4, 8}, on the canonical 128px blur config (the convergence run of
+{1, 2, 4, 8} fp32 plus K in {1, 4, 8} under the pinned bf16-compute
+recipe, on the canonical 128px blur config (the convergence run of
 docs/examples/convergence.md).
 
 Run (real TPU):
@@ -114,27 +115,40 @@ def main():
             return apply_in_chunks(one, 16, x, t)
         return one(x, t)
 
-    fnb = jax.jit(lambda img, rng: sample(d, denoise_bf16, img, rng=rng).img)
-    for attempt in range(3):  # the remote-compile tunnel flakes occasionally
-        try:
-            imgb = fnb(start, jax.random.key(0))
-            float(jnp.sum(imgb))
-            break
-        except Exception:
-            if attempt == 2:
-                raise
-            time.sleep(15)
-    imgb = jnp.clip(imgb, -1, 1)
+    results["bf16_sweep"] = []
+    for k in (1, 4, 8):
+        fnb = jax.jit(lambda img, rng, k=k: sample(
+            d, denoise_bf16, img, rng=rng, refresh_every=k).img)
+        for attempt in range(3):  # the remote-compile tunnel flakes
+            try:
+                imgb = fnb(start, jax.random.key(0))
+                float(jnp.sum(imgb))
+                break
+            except Exception:
+                if attempt == 2:
+                    raise
+                time.sleep(15)
+        t0 = time.time()
+        imgb = fnb(start, jax.random.key(0))
+        float(jnp.sum(imgb))
+        dt = time.time() - t0
+        imgb = jnp.clip(imgb, -1, 1)
+        entry = {
+            "refresh_every": k,
+            "img_per_s": round(n / dt, 3),
+            "rmse": float(rmse((og + 1) / 2, (imgb + 1) / 2)),
+            "ssim": float(ssim((og + 1) / 2, (imgb + 1) / 2)),
+            f"{'proxy_' if not feats.is_inception else ''}fid": float(
+                calculate_fid_given_samples(
+                    [np.asarray(og), np.asarray(imgb)], batch_size=32,
+                    features=feats)),
+        }
+        results["bf16_sweep"].append(entry)
+        print(json.dumps({"bf16": entry}), flush=True)
+    # kept for readers of the old record layout
     results["bf16_compute_refresh1"] = {
-        "rmse": float(rmse((og + 1) / 2, (imgb + 1) / 2)),
-        "ssim": float(ssim((og + 1) / 2, (imgb + 1) / 2)),
-        f"{'proxy_' if not feats.is_inception else ''}fid": float(
-            calculate_fid_given_samples(
-                [np.asarray(og), np.asarray(imgb)], batch_size=32,
-                features=feats)),
-    }
-    print(json.dumps({"bf16_compute_refresh1":
-                      results["bf16_compute_refresh1"]}), flush=True)
+        kk: v for kk, v in results["bf16_sweep"][0].items()
+        if kk not in ("refresh_every", "img_per_s")}
 
     # compact summary bench.py attaches to its refresh4 throughput number
     by_k = {e["refresh_every"]: e for e in results["sweep"]}
@@ -154,6 +168,14 @@ def main():
             f"{fid_key}_refresh1": sig(by_k[1][fid_key]),
             f"{fid_key}_refresh4": sig(by_k[4][fid_key]),
         }
+    bf_by_k = {e["refresh_every"]: e for e in results.get("bf16_sweep", [])}
+    for k in (4, 8):
+        if k in bf_by_k and "summary" in results:
+            e = bf_by_k[k]
+            results["summary"][f"bf16_refresh{k}_img_per_s"] = e["img_per_s"]
+            results["summary"][f"bf16_refresh{k}_rmse"] = sig(e["rmse"])
+            results["summary"][f"bf16_refresh{k}_ssim"] = sig(e["ssim"])
+            results["summary"][f"bf16_refresh{k}_{fid_key}"] = sig(e[fid_key])
 
     with open(out_path, "w") as f:
         json.dump(results, f, indent=2)

