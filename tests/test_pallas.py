@@ -108,14 +108,17 @@ def test_convnext_front_grads(rng):
                                    atol=2e-4)
 
 
-def test_convnext_front_partitions_over_batch_mesh(rng):
+@pytest.mark.parametrize("c", [8, 64])
+def test_convnext_front_partitions_over_batch_mesh(rng, c):
     """The kernel's custom_partitioning rule: under a batch-sharded jit each
     device runs its local shard -- no all-gather of the activations around
     the Mosaic call (interpret mode routes through the same wrapper, so the
-    rule itself is what the 8-device mesh exercises here)."""
+    rule itself is what the 8-device mesh exercises here).  c=64 is the
+    flagship level-0 width the compiled kernel actually serves (round-4
+    verdict: partition rules were only exercised at toy widths)."""
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-    b, h, w, c = 8, 16, 16, 8
+    b, h, w = 8, 16, 16
     x = jnp.asarray(rng.standard_normal((b, h, w, c)), dtype=jnp.float32)
     wk, bias, cond, gamma, beta = _front_args(rng, b, c)
     want = convnext_front_reference(x, wk, bias, cond, gamma, beta)
@@ -145,14 +148,15 @@ def test_convnext_front_partitions_over_batch_mesh(rng):
                                atol=2e-4)
 
 
-def test_convnext_front_partitions_over_space_mesh(rng):
+@pytest.mark.parametrize("c", [8, 64])
+def test_convnext_front_partitions_over_space_mesh(rng, c):
     """Spatially-sharded rows (image_sharding's P('data', 'space')) run
     through the partition rule's halo exchange: collective-permute of the
     3 boundary rows, NO all-gather of the row axis (round-3 review item 9:
-    pure-SP sampling must need no env var)."""
+    pure-SP sampling must need no env var).  c=64 = the flagship width."""
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-    b, h, w, c = 2, 16, 16, 8
+    b, h, w = 2, 16, 16
     x = jnp.asarray(rng.standard_normal((b, h, w, c)), dtype=jnp.float32)
     wk, bias, cond, gamma, beta = _front_args(rng, b, c)
     want = convnext_front_reference(x, wk, bias, cond, gamma, beta)
