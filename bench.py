@@ -146,12 +146,9 @@ def main():
     rng = np.random.default_rng(0)
 
     def make_ours(bf16: bool):
-        from colddiff.utils import apply_in_chunks
+        from colddiff.utils import apply_in_chunks, bf16_params
 
-        p = (
-            jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), params)
-            if bf16 else params
-        )
+        p = bf16_params(params) if bf16 else params
 
         @jax.jit
         def ours(p, img):

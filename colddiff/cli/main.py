@@ -293,15 +293,21 @@ def _supervise_train(raw_argv):
               flush=True)
 
 
-def run_train(args, raw_argv=None):
+def _is_restart_supervisor(args) -> bool:
     import os
+
+    return bool((args.restart_every_steps or args.restart_rss_gb)
+                and not os.environ.get("COLDDIFF_RESTART_WORKER"))
+
+
+def run_train(args, raw_argv=None):
     import sys
 
     from ..train import Trainer
 
-    restart_opts = args.restart_every_steps or args.restart_rss_gb
-    if (restart_opts and raw_argv is not None
-            and not os.environ.get("COLDDIFF_RESTART_WORKER")):
+    if _is_restart_supervisor(args) and raw_argv is not None:
+        # normally handled in main() BEFORE init_multihost / any device use;
+        # kept here as a backstop for programmatic callers
         sys.exit(_supervise_train(raw_argv))
 
     diffusion, model, image_size, channels = build(args)
@@ -501,6 +507,12 @@ def main(argv=None):
 
     args = build_parser().parse_args(argv)
     raw_argv = [str(a) for a in (argv if argv is not None else sys.argv[1:])]
+    if args.command == "train" and _is_restart_supervisor(args):
+        # supervise BEFORE joining any cluster or touching a device: the
+        # workers own the jax.distributed membership and the chip lease;
+        # the supervisor holding either would collide with its children
+        # (duplicate coordinator bind under --multihost, stale TPU claim)
+        sys.exit(_supervise_train(raw_argv))
     if args.multihost or args.coordinator_address:
         from ..parallel import init_multihost
 

@@ -80,9 +80,9 @@ class EvalHarness:
         # stay fp32 (operators pin Precision.HIGHEST internally)
         self.bf16 = bf16
         if bf16:
-            params = jax.tree_util.tree_map(
-                lambda a: a.astype(jnp.bfloat16)
-                if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
+            from ..utils import bf16_params
+
+            params = bf16_params(params)
         self.params = params
         # Family-B demixing: degradation endpoints come from a second dataset
         # (demixing_diffusion_pytorch.py:714-730); other ops synthesize their

@@ -111,10 +111,18 @@ class Trainer:
         # "restart" every N steps; the CLI supervisor then respawns a fresh
         # worker process that auto-resumes, bounding RSS at N x superbatch
         # bytes.  ``restart_rss_gb`` triggers the same path when host RSS
-        # crosses a threshold (checked at log intervals).  Both opt-in; a
-        # real PJRT runtime needs neither.
+        # crosses a threshold (checked every step; single-process only --
+        # see _should_restart).  Both opt-in; a real PJRT runtime needs
+        # neither.
         self.restart_every_steps = restart_every_steps
         self.restart_rss_gb = restart_rss_gb
+        if restart_rss_gb:
+            base = self._host_rss_gb()
+            if base and restart_rss_gb <= base + 1.0:
+                print(f"WARNING: --restart_rss_gb {restart_rss_gb} is at or "
+                      f"below the process baseline RSS ({base:.1f} GB); "
+                      "every step would trigger a respawn -- raise the "
+                      "threshold well above baseline", flush=True)
         # rematerialize the UNet in backward to trade FLOPs for HBM
         self.remat = remat
         # Lab-space training: batches are rgb2lab-converted after loading and
@@ -189,11 +197,14 @@ class Trainer:
         self.step = 0
         if load_path is not None and load_torch_path is not None:
             raise ValueError("pass load_path or load_torch_path, not both")
-        if load_path is None and auto_resume and (self.results_folder / "model").exists():
-            # elastic recovery: resume from the latest checkpoint in place.
-            # Takes precedence over load_torch_path so a migrated run
-            # (--load_torch_path + --resume_training) restarts from its own
-            # progress after a preemption, not from the imported .pt again.
+        if auto_resume and (self.results_folder / "model").exists():
+            # elastic recovery: resume from the latest rolling checkpoint in
+            # place.  Takes precedence over BOTH load_torch_path and
+            # load_path: a migrated (--load_torch_path) or warm-started
+            # (--load_path) run that is preempted or respawned by the
+            # restart supervisor must continue from its own progress, not
+            # re-load the original starting checkpoint each time (which
+            # would loop the supervisor forever at the first boundary).
             load_path = str(self.results_folder / "model")
             load_torch_path = None
         if load_path is not None:
@@ -234,14 +245,11 @@ class Trainer:
     def _denoise_fn(self, params, dropout_rng, train):
         if self.bf16:
             # mixed precision: fp32 master weights (params/opt state/EMA stay
-            # fp32), bf16 compute -- cast params AND inputs at apply time.
-            # Casting only the input is a no-op: flax layers with dtype=None
-            # promote bf16 activations back to the fp32 param dtype.
-            params = jax.tree_util.tree_map(
-                lambda a: a.astype(jnp.bfloat16)
-                if jnp.issubdtype(a.dtype, jnp.floating) else a,
-                params,
-            )
+            # fp32), bf16 compute -- cast params AND inputs at apply time
+            # (see utils.bf16_params on why input-only casting is a no-op)
+            from .utils import bf16_params
+
+            params = bf16_params(params)
 
         def fn(x, t):
             dtype = jnp.bfloat16 if self.bf16 else x.dtype
@@ -354,21 +362,24 @@ class Trainer:
         every rank's training loader position identical under multi-host)."""
         from .data.datasets import DataLoader
 
-        def snap_bs(dataset):
-            # never exceed the dataset (drop_last would yield zero batches
-            # and hang the first snapshot on a small smoke set)
-            return min(max(n, self._local_batch), len(dataset))
+        # never exceed the datasets (drop_last would yield zero batches and
+        # hang the first snapshot on a small smoke set); one COMMON size for
+        # both loaders -- demixing degrades og against x_end elementwise, so
+        # mismatched og/x_end batch lengths would crash the sampler
+        bs = min(max(n, self._local_batch), len(self._snap_dataset))
+        if self._snap_dataset2 is not None:
+            bs = min(bs, len(self._snap_dataset2))
 
-        if self._snap_dl is None or self._snap_bs < snap_bs(self._snap_dataset):
+        if self._snap_dl is None or self._snap_bs < bs:
             # (re)build: also when a later snapshot asks for more images than
             # the cached loader's batch size can provide
-            self._snap_bs = snap_bs(self._snap_dataset)
+            self._snap_bs = bs
             self._snap_dl = cycle(DataLoader(
-                self._snap_dataset, self._snap_bs,
+                self._snap_dataset, bs,
                 num_workers=self._snap_workers, seed=self._snap_seed + 7919))
             if self._snap_dataset2 is not None:
                 self._snap_dl2 = cycle(DataLoader(
-                    self._snap_dataset2, snap_bs(self._snap_dataset2),
+                    self._snap_dataset2, bs,
                     num_workers=self._snap_workers,
                     seed=self._snap_seed + 7920))
         og = next(self._snap_dl)[:n]
@@ -394,7 +405,12 @@ class Trainer:
         if (self.restart_every_steps
                 and self.step % self.restart_every_steps == 0):
             return True
-        if self.restart_rss_gb and self._host_rss_gb() > self.restart_rss_gb:
+        # RSS is a per-process observable: under multi-host, hosts would make
+        # divergent restart decisions and deadlock the next collective, so
+        # the RSS trigger is single-process only (the step trigger is
+        # host-synchronized and remains available everywhere)
+        if (self.restart_rss_gb and jax.process_count() == 1
+                and self._host_rss_gb() > self.restart_rss_gb):
             return True
         return False
 

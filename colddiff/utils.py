@@ -12,6 +12,8 @@ import numpy as np
 
 __all__ = [
     "ema_update",
+    "bf16_params",
+    "retry_compile",
     "apply_in_chunks",
     "cycle",
     "to_uint8_grid",
@@ -29,6 +31,34 @@ def ema_update(ema_params, new_params, decay: float):
     return jax.tree_util.tree_map(
         lambda e, p: e * decay + p * (1.0 - decay), ema_params, new_params
     )
+
+
+def bf16_params(params):
+    """Cast floating leaves to bfloat16 for bf16 compute.
+
+    The caller keeps the fp32 master copy; integer/bool leaves pass through
+    untouched.  This is THE bf16 recipe (CLAUDE.md: cast params AND inputs
+    at apply time -- casting only the input is a no-op because flax layers
+    with dtype=None promote activations back to the param dtype)."""
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16)
+        if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
+
+
+def retry_compile(thunk, attempts: int = 3, delay: float = 15.0):
+    """Run ``thunk`` with retries: this environment's remote-compile tunnel
+    flakes occasionally; a short pause and a second attempt recovers it."""
+    import time
+
+    for i in range(attempts):
+        try:
+            return thunk()
+        except Exception:
+            if i == attempts - 1:
+                raise
+            time.sleep(delay)
 
 
 def apply_in_chunks(fn, chunk_size: int, *args):

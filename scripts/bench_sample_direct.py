@@ -26,7 +26,8 @@ def main():
     from colddiff.models import UnetConvNext
     from colddiff.operators import get_operator
     from colddiff.sampling import prepare_start, sample
-    from colddiff.utils import enable_compilation_cache
+    from colddiff.utils import (bf16_params, enable_compilation_cache,
+                                retry_compile)
 
     enable_compilation_cache()
     batches = [int(a[1:]) for a in sys.argv[1:] if a.startswith("b")] or [32]
@@ -39,7 +40,7 @@ def main():
     model = UnetConvNext(dim=64, dim_mults=(1, 2, 4, 8), channels=3)
     x0 = jnp.zeros((2, IMG, IMG, 3), jnp.float32)
     params = model.init(jax.random.key(0), x0, jnp.zeros((2,), jnp.int32))
-    pb = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), params)
+    pb = bf16_params(params)
     rng = np.random.default_rng(0)
 
     for b in batches:
@@ -55,14 +56,7 @@ def main():
 
             return sample(d, fn, start).img
 
-        for attempt in range(3):
-            try:
-                float(jnp.sum(run(pb, img)))
-                break
-            except Exception:
-                if attempt == 2:
-                    raise
-                time.sleep(15)
+        retry_compile(lambda: float(jnp.sum(run(pb, img))))
         t0 = time.time()
         for _ in range(2):
             float(jnp.sum(run(pb, img)))

@@ -103,9 +103,9 @@ def main():
     # quality of the pinned bench recipe (bf16 UNet compute, fp32 sampler
     # math) vs full-fp32 on the same checkpoint: the headline number's
     # precision recipe carries its own quality record too
-    pb = jax.tree_util.tree_map(
-        lambda a: a.astype(jnp.bfloat16)
-        if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
+    from colddiff.utils import bf16_params, retry_compile
+
+    pb = bf16_params(params)
 
     def denoise_bf16(x, t):
         def one(xc, tc):
@@ -119,15 +119,8 @@ def main():
     for k in (1, 4, 8):
         fnb = jax.jit(lambda img, rng, k=k: sample(
             d, denoise_bf16, img, rng=rng, refresh_every=k).img)
-        for attempt in range(3):  # the remote-compile tunnel flakes
-            try:
-                imgb = fnb(start, jax.random.key(0))
-                float(jnp.sum(imgb))
-                break
-            except Exception:
-                if attempt == 2:
-                    raise
-                time.sleep(15)
+        imgb = retry_compile(lambda: fnb(start, jax.random.key(0)))
+        float(jnp.sum(imgb))
         t0 = time.time()
         imgb = fnb(start, jax.random.key(0))
         float(jnp.sum(imgb))

@@ -39,7 +39,7 @@ def main():
     from colddiff.operators import get_operator
     from colddiff.sampling import sample
     from colddiff.train import Trainer
-    from colddiff.utils import apply_in_chunks
+    from colddiff.utils import apply_in_chunks, retry_compile
 
     op = get_operator("noise", timesteps=T)
     d = ColdDiffusion(op=op, image_size=IMG, channels=3,
@@ -85,15 +85,8 @@ def main():
     for k in (1, 2, 4, 8):
         fn = jax.jit(lambda nz, rng, k=k: sample(
             d, denoise, nz, x_end=nz, rng=rng, refresh_every=k).img)
-        for attempt in range(3):  # the remote-compile tunnel flakes
-            try:
-                img = fn(noise, jax.random.key(1))
-                float(jnp.sum(img))
-                break
-            except Exception:
-                if attempt == 2:
-                    raise
-                time.sleep(15)
+        img = retry_compile(lambda: fn(noise, jax.random.key(1)))
+        float(jnp.sum(img))
         t0 = time.time()
         img = fn(noise, jax.random.key(1))
         float(jnp.sum(img))

@@ -301,3 +301,42 @@ def test_cli_restart_supervisor_loop(tmp_path, monkeypatch):
                                   "colddiff.cli.main"]
         assert "--resume_training" in child_argv
         assert env["COLDDIFF_RESTART_WORKER"] == "1"
+
+
+def test_auto_resume_beats_load_path_for_restart_workers(tmp_path):
+    """A warm-started (--load_path) run respawned by the restart supervisor
+    must continue from its OWN rolling checkpoint, not re-load the original
+    warm-start each time (which would loop the supervisor forever at the
+    first boundary)."""
+    # the "original" warm-start checkpoint: 1 step, saved elsewhere
+    warm = make_trainer(tmp_path / "warm", train_num_steps=1,
+                        save_and_sample_every=100)
+    warm.train(log_every=10)
+    # the actual run folder: progressed to step 3, rolling ckpt present
+    run = make_trainer(tmp_path / "run", train_num_steps=3,
+                       save_and_sample_every=100)
+    run.train(log_every=10)
+    # a respawned worker passes BOTH the original --load_path and
+    # --resume_training; the rolling checkpoint must win
+    tr = make_trainer(tmp_path / "run", train_num_steps=5,
+                      save_and_sample_every=100,
+                      load_path=str(tmp_path / "warm" / "results" / "model"),
+                      auto_resume=True)
+    assert tr.step == 3  # not 1
+
+
+def test_snapshot_demixing_batches_share_one_size(tmp_path):
+    """With a second (endpoint) dataset smaller than the snapshot size, og
+    and x_end must come out the same length (demixing degrades og against
+    x_end elementwise)."""
+    op = get_operator("mix", timesteps=4)
+    d = ColdDiffusion(op=op, image_size=16, channels=3,
+                      sampling_routine="x0_step_down")
+    model = UnetConvNext(dim=8, dim_mults=(1, 2), channels=3)
+    ds = SyntheticDataset(16, 3, length=64)
+    ds2 = SyntheticDataset(16, 3, length=8, seed=1)
+    tr = Trainer(d, model, ds, second_dataset=ds2, train_batch_size=8,
+                 train_num_steps=0, results_folder=str(tmp_path / "r"),
+                 num_workers=1)
+    og, x_end = tr._snapshot_batch(36)
+    assert og.shape[0] == x_end.shape[0] == 8
